@@ -1,0 +1,14 @@
+"""Test configuration.
+
+Force the CPU backend with 8 virtual devices so multi-chip sharding tests run
+hermetically (the driver dry-runs the real multi-chip path separately via
+__graft_entry__.dryrun_multichip).  Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
