@@ -15,7 +15,7 @@ import numpy as np
 
 from . import hostsparse as hs
 from .fsm import FSM
-from .labels import Label, label_mul
+from .labels import Label, label_mul, show_label
 from .semiring import Semiring
 
 __all__ = [
@@ -126,6 +126,12 @@ def compose(fsm1: FSM, fsms, sep=None) -> FSM:
     ``fsms[Label(last atom of fsm1.labels[i])]`` (reference src/fsmops.jl:117-119).
     """
     if isinstance(fsms, dict):
+        missing = {lab[-1] for lab in fsm1.labels if Label(lab[-1]) not in fsms}
+        if missing:
+            raise KeyError(
+                f"compose: no sub-FSM for label(s) {sorted(map(str, missing))}; "
+                f"dict provides {sorted(show_label(k) for k in fsms)}"
+            )
         fsms = [fsms[Label(lab[-1])] for lab in fsm1.labels]
     fsms = list(fsms)
     if len(fsms) != fsm1.num_states:

@@ -1,0 +1,664 @@
+"""Device-side inference: compiled FSMs, forward-backward, LF-MMI scoring.
+
+TPU-first re-design of the reference's inference runtime
+(reference src/inference.jl):
+
+* ``compile`` lowers a host ``FSM`` to jit-stable padded arrays — the analog
+  of ``CompiledFSM``/``adapt(CuArray, ...)`` (src/inference.jl:3-26) but as a
+  JAX pytree: COO edge lists sorted by destination/source (both directions
+  stored, like the reference caching T̂ and T̂ᵀ, CHANGELOG 0.10), optional ELL
+  incoming-arc lists, and an optional dense MXU operator.
+* the time recursion is a ``lax.scan`` whose body is a semiring matvec
+  (ops/semiring_ops.py), replacing the reference's per-frame CUDA SpMV loop
+  (src/inference.jl:62-110); ragged batches use the same phony-final-state
+  ``expand`` trick (src/inference.jl:38-60) expressed as per-frame masking,
+  so every shape is static.
+* the backward pass is fused with posterior accumulation (the reference's
+  ``βrecursion_mulα!`` memory optimization, src/inference.jl:131-143) and the
+  forward pass is chunk-checkpointed: only chunk-boundary α states are kept
+  and interior frames are recomputed during the β sweep, bounding memory at
+  O(S·B·(chunk + N/chunk)) instead of O(S·B·N).
+* batching: a *shared* graph (LF-MMI denominator) keeps one compiled graph
+  and a (S, B) state matrix — the TPU-native form of the reference's
+  blockdiag-of-identical-graphs batching (misc/benchmark/benchmark.jl:20);
+  heterogeneous per-utterance graphs are stacked/padded and vmapped
+  (``stack``), the TPU-native form of ``rawunion``/``batch``
+  (src/fsmops.jl:28-36, src/inference.jl:28-36).
+
+Scans rescale per frame (running-max subtraction) so bf16/f32 stay in range
+for arbitrarily long sequences; the reference relies on log-domain
+self-normalization instead (no rescaling), which f32 tolerates only for
+moderate N.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import hostsparse as hs
+from .fsm import FSM
+from .ops import semiring_ops as sops
+
+__all__ = [
+    "CompiledFSM",
+    "compile_fsm",
+    "compile",
+    "stack",
+    "batch",
+    "statemap_to_indices",
+    "expand",
+    "alpha_recursion",
+    "beta_recursion",
+    "pdfposteriors",
+    "forward",
+    "logmarginal",
+    "lfmmi_loss",
+]
+
+NEG_INF = -jnp.inf
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "alpha_hat",
+        "final_state",
+        "state_pdf",
+        "fwd_src",
+        "fwd_dst",
+        "fwd_w",
+        "bwd_src",
+        "bwd_dst",
+        "bwd_w",
+        "ell_fwd_src",
+        "ell_fwd_w",
+        "ell_bwd_src",
+        "ell_bwd_w",
+        "dense_fwd_exp",
+        "dense_fwd_max",
+        "dense_bwd_exp",
+        "dense_bwd_max",
+    ],
+    meta_fields=["num_states", "num_pdfs", "strategy", "batched"],
+)
+@dataclasses.dataclass
+class CompiledFSM:
+    """Device representation of one FSM (or a stacked batch of FSMs).
+
+    Shapes below are for a single graph (``batched=False``); a stacked batch
+    adds a leading graph axis to every array field.  ``Sp``/``Ep`` are the
+    padded state/edge counts; real states/edges come first, padding edges
+    carry weight -inf and point at the last padded state.
+    """
+
+    # (Sp,) log-domain initial weights of the extended graph [α; zero]
+    alpha_hat: jnp.ndarray
+    # scalar int32 — index of the phony final state (= num_states - 1)
+    final_state: jnp.ndarray
+    # (Sp,) int32 — pdf index per state; phony & padding -> num_pdfs
+    state_pdf: jnp.ndarray
+    # COO edges of T̂ sorted by destination (for y = T̂ᵀ x)
+    fwd_src: jnp.ndarray
+    fwd_dst: jnp.ndarray
+    fwd_w: jnp.ndarray
+    # COO edges of T̂ sorted by source (for y = T̂ x); gather=dst, segment=src
+    bwd_src: jnp.ndarray
+    bwd_dst: jnp.ndarray
+    bwd_w: jnp.ndarray
+    # optional ELL incoming/outgoing arc lists (S, D)
+    ell_fwd_src: Optional[jnp.ndarray]
+    ell_fwd_w: Optional[jnp.ndarray]
+    ell_bwd_src: Optional[jnp.ndarray]
+    ell_bwd_w: Optional[jnp.ndarray]
+    # optional dense MXU operators (exp-shifted) (Sp, Sp) + row maxima (Sp,)
+    dense_fwd_exp: Optional[jnp.ndarray]
+    dense_fwd_max: Optional[jnp.ndarray]
+    dense_bwd_exp: Optional[jnp.ndarray]
+    dense_bwd_max: Optional[jnp.ndarray]
+    # static metadata
+    num_states: int  # actual S+1 (incl. phony, excl. padding)
+    num_pdfs: int  # number of real pdfs P (phony pdf id = P)
+    strategy: str  # 'dense' | 'ell' | 'segment'
+    batched: bool
+
+    @property
+    def padded_states(self) -> int:
+        return self.alpha_hat.shape[-1]
+
+
+def statemap_to_indices(C: hs.SpMat) -> np.ndarray:
+    """Convert a binary state→pdf matrix Ĉ (one nz per row, reference
+    examples/prepare-lfmmi-graphs.jl:15-23) to an int index vector."""
+    counts = np.diff(C.indptr)
+    if not (counts == 1).all():
+        raise ValueError(
+            "general Ĉ with multiple pdfs per state is not supported; "
+            "each state must emit exactly one pdf"
+        )
+    return C.indices.astype(np.int32)
+
+
+def compile_fsm(
+    fsm: FSM,
+    state_pdf,
+    num_pdfs: int,
+    *,
+    strategy: str = "auto",
+    dtype=jnp.float32,
+) -> CompiledFSM:
+    """Lower a host FSM to the device representation.
+
+    ``state_pdf``: int array of length ``num_states + 1`` mapping each state
+    (including the phony final state) to a pdf id in [0, num_pdfs]; the phony
+    state must map to ``num_pdfs`` (the phony pdf row of the reference's
+    expanded likelihoods, src/inference.jl:54-60).  A binary ``hostsparse``
+    Ĉ matrix is also accepted.
+    """
+    if isinstance(state_pdf, hs.SpMat):
+        state_pdf = statemap_to_indices(state_pdf)
+    state_pdf = np.asarray(state_pdf, dtype=np.int32)
+    S1 = len(fsm.alpha_hat)
+    if state_pdf.shape != (S1,):
+        raise ValueError(f"state_pdf must have shape ({S1},)")
+
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    E = len(rows)
+    max_indeg = int(np.bincount(cols, minlength=S1).max()) if E else 0
+
+    if strategy == "auto":
+        if S1 <= 4096:
+            strategy = "dense"
+        elif max_indeg <= 32:
+            strategy = "ell"
+        else:
+            strategy = "segment"
+
+    Sp = _round_up(S1, 128 if strategy == "dense" else 8)
+    Ep = max(_round_up(E, 8), 8)
+
+    alpha_hat = np.full(Sp, -np.inf, dtype=np.float64)
+    alpha_hat[:S1] = fsm.alpha_hat
+    spdf = np.full(Sp, num_pdfs, dtype=np.int32)
+    spdf[:S1] = state_pdf
+
+    def edge_arrays(gather, seg, w):
+        order = np.lexsort((gather, seg))
+        g = np.full(Ep, Sp - 1, dtype=np.int32)
+        s = np.full(Ep, Sp - 1, dtype=np.int32)
+        ww = np.full(Ep, -np.inf, dtype=np.float64)
+        g[:E] = gather[order]
+        s[:E] = seg[order]
+        ww[:E] = w[order]
+        return g, s, ww
+
+    fwd_src, fwd_dst, fwd_w = edge_arrays(rows, cols, data)
+    bwd_src, bwd_dst, bwd_w = edge_arrays(cols, rows, data)
+
+    kw = dict(
+        ell_fwd_src=None,
+        ell_fwd_w=None,
+        ell_bwd_src=None,
+        ell_bwd_w=None,
+        dense_fwd_exp=None,
+        dense_fwd_max=None,
+        dense_bwd_exp=None,
+        dense_bwd_max=None,
+    )
+
+    if strategy == "ell":
+
+        def ell(gather, seg, w):
+            D = max(int(np.bincount(seg, minlength=S1).max()) if E else 0, 1)
+            es = np.zeros((Sp, D), dtype=np.int32)
+            ew = np.full((Sp, D), -np.inf, dtype=np.float64)
+            slot = np.zeros(S1, dtype=np.int64)
+            for k in range(E):
+                j = seg[k]
+                es[j, slot[j]] = gather[k]
+                ew[j, slot[j]] = w[k]
+                slot[j] += 1
+            return es, ew
+
+        es, ew = ell(rows, cols, data)
+        kw["ell_fwd_src"] = jnp.asarray(es)
+        kw["ell_fwd_w"] = jnp.asarray(ew, dtype=dtype)
+        es, ew = ell(cols, rows, data)
+        kw["ell_bwd_src"] = jnp.asarray(es)
+        kw["ell_bwd_w"] = jnp.asarray(ew, dtype=dtype)
+    elif strategy == "dense":
+        W = np.full((Sp, Sp), -np.inf, dtype=np.float64)
+        W[cols, rows] = data  # W_fwd[j, i] = T̂[i, j]
+        exp_w, row_max = sops.make_dense_operator(jnp.asarray(W, dtype=dtype))
+        kw["dense_fwd_exp"], kw["dense_fwd_max"] = exp_w, row_max
+        Wb = np.full((Sp, Sp), -np.inf, dtype=np.float64)
+        Wb[rows, cols] = data
+        exp_w, row_max = sops.make_dense_operator(jnp.asarray(Wb, dtype=dtype))
+        kw["dense_bwd_exp"], kw["dense_bwd_max"] = exp_w, row_max
+
+    return CompiledFSM(
+        alpha_hat=jnp.asarray(alpha_hat, dtype=dtype),
+        final_state=jnp.asarray(S1 - 1, dtype=jnp.int32),
+        state_pdf=jnp.asarray(spdf),
+        fwd_src=jnp.asarray(fwd_src),
+        fwd_dst=jnp.asarray(fwd_dst),
+        fwd_w=jnp.asarray(fwd_w, dtype=dtype),
+        bwd_src=jnp.asarray(bwd_src),
+        bwd_dst=jnp.asarray(bwd_dst),
+        bwd_w=jnp.asarray(bwd_w, dtype=dtype),
+        num_states=S1,
+        num_pdfs=int(num_pdfs),
+        strategy=strategy,
+        batched=False,
+        **kw,
+    )
+
+
+def stack(cfsms) -> CompiledFSM:
+    """Stack compiled FSMs into one batched structure (padding to common
+    shapes) — the TPU-native ``batch`` (reference src/inference.jl:28-36):
+    instead of blockdiag-ing sparse storage, graphs get a leading batch axis
+    and the recursions vmap over it."""
+    cfsms = list(cfsms)
+    if any(c.batched for c in cfsms):
+        raise ValueError("can only stack unbatched CompiledFSMs")
+    strategy = cfsms[0].strategy
+    num_pdfs = cfsms[0].num_pdfs
+    if any(c.strategy != strategy or c.num_pdfs != num_pdfs for c in cfsms):
+        raise ValueError("stack requires matching strategy and num_pdfs")
+
+    Sp = max(c.padded_states for c in cfsms)
+    Ep = max(c.fwd_src.shape[-1] for c in cfsms)
+    Df = max((c.ell_fwd_src.shape[-1] for c in cfsms), default=0) if strategy == "ell" else 0
+    Db = max((c.ell_bwd_src.shape[-1] for c in cfsms), default=0) if strategy == "ell" else 0
+
+    def pad_to(x, size, fill, axis=-1):
+        pad = size - x.shape[axis]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    # Padding edges keep pointing inside each graph's own (padded) state range
+    # and carry weight -inf, so they contribute semiring zero regardless of
+    # which padding slot they target — no index remapping is needed.
+    def fstack(name, size, fill, axis=-1):
+        return jnp.stack([pad_to(getattr(c, name), size, fill, axis) for c in cfsms])
+
+    kw = dict(
+        alpha_hat=fstack("alpha_hat", Sp, -jnp.inf),
+        state_pdf=fstack("state_pdf", Sp, num_pdfs),
+        fwd_src=fstack("fwd_src", Ep, 0),
+        fwd_dst=fstack("fwd_dst", Ep, Sp - 1),
+        fwd_w=fstack("fwd_w", Ep, -jnp.inf),
+        bwd_src=fstack("bwd_src", Ep, 0),
+        bwd_dst=fstack("bwd_dst", Ep, Sp - 1),
+        bwd_w=fstack("bwd_w", Ep, -jnp.inf),
+        ell_fwd_src=None,
+        ell_fwd_w=None,
+        ell_bwd_src=None,
+        ell_bwd_w=None,
+        dense_fwd_exp=None,
+        dense_fwd_max=None,
+        dense_bwd_exp=None,
+        dense_bwd_max=None,
+    )
+    if strategy == "ell":
+        kw["ell_fwd_src"] = jnp.stack(
+            [pad_to(pad_to(c.ell_fwd_src, Df, 0), Sp, 0, 0) for c in cfsms]
+        )
+        kw["ell_fwd_w"] = jnp.stack(
+            [pad_to(pad_to(c.ell_fwd_w, Df, -jnp.inf), Sp, -jnp.inf, 0) for c in cfsms]
+        )
+        kw["ell_bwd_src"] = jnp.stack(
+            [pad_to(pad_to(c.ell_bwd_src, Db, 0), Sp, 0, 0) for c in cfsms]
+        )
+        kw["ell_bwd_w"] = jnp.stack(
+            [pad_to(pad_to(c.ell_bwd_w, Db, -jnp.inf), Sp, -jnp.inf, 0) for c in cfsms]
+        )
+    if strategy == "dense":
+        for prefix in ("dense_fwd", "dense_bwd"):
+            kw[prefix + "_exp"] = jnp.stack(
+                [
+                    pad_to(pad_to(getattr(c, prefix + "_exp"), Sp, 0.0, 0), Sp, 0.0, 1)
+                    for c in cfsms
+                ]
+            )
+            kw[prefix + "_max"] = jnp.stack(
+                [pad_to(getattr(c, prefix + "_max"), Sp, -jnp.inf) for c in cfsms]
+            )
+
+    return CompiledFSM(
+        final_state=jnp.stack([c.final_state for c in cfsms]),
+        num_states=Sp,
+        num_pdfs=num_pdfs,
+        strategy=strategy,
+        batched=True,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# recursions
+# ---------------------------------------------------------------------------
+
+def _make_matvec(cf: CompiledFSM, direction: str):
+    Sp = cf.padded_states
+    if cf.strategy == "dense":
+        e = cf.dense_fwd_exp if direction == "fwd" else cf.dense_bwd_exp
+        m = cf.dense_fwd_max if direction == "fwd" else cf.dense_bwd_max
+        return lambda x: sops.dense_log_matvec(e, m, x)
+    if cf.strategy == "ell":
+        s = cf.ell_fwd_src if direction == "fwd" else cf.ell_bwd_src
+        w = cf.ell_fwd_w if direction == "fwd" else cf.ell_bwd_w
+        return lambda x: sops.ell_matvec(s, w, x)
+    if direction == "fwd":
+        s, d, w = cf.fwd_src, cf.fwd_dst, cf.fwd_w
+    else:
+        s, d, w = cf.bwd_src, cf.bwd_dst, cf.bwd_w
+    return lambda x: sops.segment_matvec(s, d, w, x, Sp)
+
+
+def _make_elhs(cf: CompiledFSM, lengths):
+    Sp = cf.padded_states
+    is_phony = (jnp.arange(Sp) == cf.final_state)[:, None]
+
+    def elhs(lhs_t, t):
+        """Expanded per-frame likelihood column (reference ``expand``,
+        src/inference.jl:38-60): (B, P) -> (Sp, B)."""
+        lhs_ext = jnp.concatenate(
+            [lhs_t.T, jnp.full((1, lhs_t.shape[0]), NEG_INF, lhs_t.dtype)], axis=0
+        )  # (P+1, B); phony pdf row = zero(K)
+        x = lhs_ext[cf.state_pdf, :]
+        active = (t < lengths)[None, :]
+        return jnp.where(active, x, jnp.where(is_phony, 0.0, NEG_INF))
+
+    return elhs
+
+
+def _colmax_safe(y):
+    m = jnp.max(y, axis=0)
+    return jnp.where(jnp.isfinite(m), m, 0.0)
+
+
+def _pdf_reduce(cf: CompiledFSM, gamma):
+    """Ĉᵀ(α⊙β): per-pdf logsumexp over states (reference
+    src/inference.jl:155), then per-frame normalization."""
+    P1 = cf.num_pdfs + 1
+    gpdf = sops.segment_logsumexp(gamma, cf.state_pdf, P1)
+    norm = sops.masked_logsumexp(gpdf, axis=0)
+    return jnp.exp(gpdf - jnp.where(jnp.isfinite(norm), norm, 0.0)[None, :])
+
+
+@dataclasses.dataclass
+class _Kernels:
+    """The pluggable pieces of the forward-backward scan.  Single-device
+    inference builds them from a CompiledFSM; the state-sharded path
+    (parallel/sharded.py) builds versions that insert mesh collectives while
+    reusing the identical scan skeleton below."""
+
+    alpha0: jnp.ndarray  # (S_loc,) initial extended weights
+    fwd_mv: callable  # (S_loc, B) -> (S_loc, B): y = T̂ᵀ ⊗ x
+    bwd_mv: callable  # (S_loc, B) -> (S_loc, B): y = T̂ ⊗ x
+    elhs: callable  # (lhs_t (B, P), t) -> (S_loc, B) expanded likelihoods
+    colmax: callable  # (S_loc, B) -> (B,) finite-safe per-column max
+    pdf_posts: callable  # gamma (S_loc, B) -> (P+1, B) normalized posteriors
+    final_val: callable  # (x (S_loc, B), shift (B,)) -> (B,) logZ extraction
+
+
+def _fb_run(kern: _Kernels, lhs, lengths, chunk_size, want_posts, num_pdfs):
+    """Chunk-checkpointed forward(-backward) scan.  lhs: (B, N, P); returns
+    (posts (B, N, P) or None, logZ (B,))."""
+    B, N, P = lhs.shape
+    if P != num_pdfs:
+        raise ValueError(f"lhs has {P} pdfs, graph expects {num_pdfs}")
+    Sl = kern.alpha0.shape[0]
+    Nf = N + 1
+    K = min(chunk_size, Nf)
+    C = -(-Nf // K)
+    Npad = C * K
+
+    lhs_tm = jnp.moveaxis(lhs, 1, 0)  # (N, B, P)
+    lhs_tm = jnp.pad(lhs_tm, ((0, Npad - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Npad, dtype=jnp.int32)
+    lhs_cm = lhs_tm.reshape(C, K, B, P)
+    ts_cm = ts.reshape(C, K)
+
+    x0 = jnp.broadcast_to(kern.alpha0[:, None], (Sl, B)).astype(lhs.dtype)
+    shift0 = jnp.zeros(B, lhs.dtype)
+
+    def fstep(carry, inp):
+        x, shift = carry
+        lhs_t, t = inp
+        y = jnp.where(t == 0, x, kern.fwd_mv(x))
+        y = y + kern.elhs(lhs_t, t)
+        m = kern.colmax(y)
+        y = y - m[None, :]
+        return (y, shift + m), None
+
+    def fstep_save(carry, inp):
+        new_carry, _ = fstep(carry, inp)
+        return new_carry, new_carry
+
+    def chunk_fwd(carry, inp):
+        boundary = carry
+        new_carry, _ = lax.scan(fstep, carry, inp)
+        return new_carry, boundary
+
+    (xF, shiftF), boundaries = lax.scan(chunk_fwd, (x0, shift0), (lhs_cm, ts_cm))
+    logZ = kern.final_val(xF, shiftF)
+
+    if not want_posts:
+        return None, logZ
+
+    def chunk_bwd(carry, inp):
+        (xb, sb), lhs_k, ts_k = inp
+        _, (A_k, _) = lax.scan(fstep_save, (xb, sb), (lhs_k, ts_k))
+
+        def bstep(c, i):
+            bb, bshift = c
+            a_t, lhs_t, t = i
+            y = jnp.where(t == Npad - 1, jnp.zeros_like(bb), kern.bwd_mv(bb))
+            m = kern.colmax(y)
+            y = y - m[None, :]
+            gamma = a_t + y
+            posts_t = kern.pdf_posts(gamma)  # (P+1, B)
+            bb_new = y + kern.elhs(lhs_t, t)
+            return (bb_new, bshift + m), posts_t
+
+        c2, posts_k = lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
+        return c2, posts_k
+
+    binit = (jnp.zeros((Sl, B), lhs.dtype), jnp.zeros(B, lhs.dtype))
+    _, posts = lax.scan(
+        chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
+    )
+    posts = posts.reshape(Npad, num_pdfs + 1, B)
+    posts = jnp.moveaxis(posts, 2, 0)[:, :N, :num_pdfs]  # (B, N, P)
+    return posts, logZ
+
+
+def _make_kernels(cf: CompiledFSM, lengths) -> _Kernels:
+    return _Kernels(
+        alpha0=cf.alpha_hat,
+        fwd_mv=_make_matvec(cf, "fwd"),
+        bwd_mv=_make_matvec(cf, "bwd"),
+        elhs=_make_elhs(cf, lengths),
+        colmax=_colmax_safe,
+        pdf_posts=lambda gamma: _pdf_reduce(cf, gamma),
+        final_val=lambda x, shift: jnp.take(x, cf.final_state, axis=0) + shift,
+    )
+
+
+def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
+    kern = _make_kernels(cf, lengths)
+    return _fb_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
+
+
+def _dispatch(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
+    lhs = jnp.asarray(lhs)
+    if lengths is None:
+        lengths = jnp.full((lhs.shape[0],), lhs.shape[-2])
+    # clamp: a length beyond the frame count would keep the recursion off the
+    # phony final state forever (logZ = -inf); reference expand() semantics
+    # likewise cap seqlength at N (src/inference.jl:54-60).
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), lhs.shape[-2])
+    if cf.batched:
+        if lhs.ndim != 3:
+            raise ValueError("batched graphs expect lhs of shape (B, N, P)")
+
+        def one(cf_b, lhs_b, len_b):
+            return _fb_single(
+                cf_b, lhs_b[None], len_b[None], chunk_size, want_posts
+            )
+
+        posts, logZ = jax.vmap(one)(cf, lhs, lengths)
+        if posts is not None:
+            posts = posts[:, 0]
+        return posts, logZ[:, 0]
+    return _fb_single(cf, lhs, lengths, chunk_size, want_posts)
+
+
+def pdfposteriors(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+    """Batched LF-MMI posterior computation (reference ``pdfposteriors``,
+    src/inference.jl:145-205).
+
+    ``lhs``: (B, N, P) log-likelihoods; ``lengths``: (B,) frame counts.
+    Returns (posteriors (B, N, P) real probabilities, logZ (B,) total
+    log-marginals).  Posteriors are exactly zero past each sequence length.
+    Not differentiable — use :func:`logmarginal` / :func:`lfmmi_loss` for
+    gradients (the gradient of logZ *is* the posterior matrix).
+    """
+    return _dispatch(cf, lhs, lengths, chunk_size, True)
+
+
+def forward(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+    """Forward pass only: log-marginals logZ (B,)."""
+    _, logZ = _dispatch(cf, lhs, lengths, chunk_size, False)
+    return logZ
+
+
+def logmarginal(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+    """Differentiable total log-marginal log p(X | graph), (B,).
+
+    d logZ / d lhs = pdf posteriors (standard LF-MMI identity); implemented
+    as an exact first-order surrogate so the scan itself is never
+    differentiated (the backward recursion already computes the gradient,
+    reference SURVEY §3.1 note)."""
+    lhs = jnp.asarray(lhs)
+    lhs_sg = lax.stop_gradient(lhs)
+    posts, logZ = pdfposteriors(
+        jax.tree.map(lax.stop_gradient, cf), lhs_sg, lengths, chunk_size=chunk_size
+    )
+    surr = jnp.einsum("bnp,bnp->b", posts, lhs - lhs_sg)
+    return logZ + surr
+
+
+def lfmmi_loss(
+    num_cf: CompiledFSM,
+    den_cf: CompiledFSM,
+    lhs,
+    lengths=None,
+    *,
+    chunk_size: int = 64,
+):
+    """LF-MMI objective per utterance: -(log p_num - log p_den), (B,).
+
+    ``num_cf`` is typically a stacked batch of per-utterance numerator
+    graphs; ``den_cf`` the shared denominator graph.  Differentiable w.r.t.
+    ``lhs`` with gradient γ_den - γ_num."""
+    num = logmarginal(num_cf, lhs, lengths, chunk_size=chunk_size)
+    den = logmarginal(den_cf, lhs, lengths, chunk_size=chunk_size)
+    return den - num
+
+
+# ---------------------------------------------------------------------------
+# reference-parity conveniences
+# ---------------------------------------------------------------------------
+
+# naming parity with the reference API (src/inference.jl exports
+# ``compile``/``batch``; ``stack`` is the TPU-native batch).
+compile = compile_fsm
+batch = stack
+
+
+def expand(V, seqlength=None):
+    """Likelihood expansion (reference ``expand``, src/inference.jl:38-60):
+    (P, N) -> (P+1, N+1) with the phony-pdf row zero(K) inside the sequence
+    and one(K) past it, real rows zeroed past ``seqlength``.
+
+    The scan pipeline applies this masking per frame internally
+    (``_make_elhs``); this standalone form exists for API parity and
+    host-side oracles."""
+    V = jnp.asarray(V)
+    P, N = V.shape
+    if seqlength is None:
+        seqlength = N
+    out = jnp.full((P + 1, N + 1), NEG_INF, V.dtype)
+    out = out.at[:P, :N].set(V)
+    t = jnp.arange(N + 1)
+    active = t < seqlength
+    out = jnp.where(active[None, :], out, NEG_INF)
+    out = out.at[P, :].set(jnp.where(active, NEG_INF, 0.0))
+    return out
+
+
+def _full_recursion(cf: CompiledFSM, lhs, lengths, direction: str):
+    lhs = jnp.asarray(lhs)
+    B, N, P = lhs.shape
+    if lengths is None:
+        lengths = jnp.full((B,), N)
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), N)
+    Sp = cf.padded_states
+    Nf = N + 1
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Nf - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Nf, dtype=jnp.int32)
+    kern = _make_kernels(cf, lengths)
+
+    if direction == "alpha":
+        x0 = jnp.broadcast_to(cf.alpha_hat[:, None], (Sp, B)).astype(lhs.dtype)
+
+        def step(carry, inp):
+            lhs_t, t = inp
+            y = jnp.where(t == 0, x0, kern.fwd_mv(carry))
+            y = y + kern.elhs(lhs_t, t)
+            return y, y
+
+        _, ys = lax.scan(step, x0, (lhs_tm, ts))
+    else:
+
+        def step(carry, inp):
+            lhs_t, t = inp
+            y = jnp.where(t == Nf - 1, jnp.zeros((Sp, B), lhs.dtype),
+                          kern.bwd_mv(carry))
+            bb = y + kern.elhs(lhs_t, t)
+            return bb, y
+
+        _, ys = lax.scan(
+            step, jnp.zeros((Sp, B), lhs.dtype), (lhs_tm, ts), reverse=True
+        )
+    return jnp.moveaxis(ys, 2, 0)  # (B, Nf, Sp)
+
+
+def alpha_recursion(cf: CompiledFSM, lhs, lengths=None):
+    """Full forward messages α (B, N+1, S) — the reference's ``αrecursion``
+    (src/inference.jl:62-74).  Unrescaled; intended for moderate N/S (the
+    production path ``pdfposteriors`` never materializes this)."""
+    return _full_recursion(cf, lhs, lengths, "alpha")
+
+
+def beta_recursion(cf: CompiledFSM, lhs, lengths=None):
+    """Full backward messages β (B, N+1, S) — the reference's ``βrecursion``
+    (src/inference.jl:99-110)."""
+    return _full_recursion(cf, lhs, lengths, "beta")

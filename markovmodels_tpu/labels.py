@@ -29,7 +29,7 @@ def Label(*atoms) -> tuple:
     """Construct a label (SequenceMonoid element).  ``Label()`` is identity."""
     out = []
     for a in atoms:
-        if isinstance(a, tuple):
+        if isinstance(a, (tuple, list)):
             out.extend(a)
         else:
             out.append(a)

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, data_parallel_sharding
+from .sharded import ShardedFSM, shard_compiled, sharded_pdfposteriors, sharded_logmarginal

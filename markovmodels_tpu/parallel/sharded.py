@@ -1,0 +1,262 @@
+"""State-sharded forward-backward over a device mesh.
+
+For LF-MMI denominator graphs too large to replicate (the 2M-arc regime),
+states are range-partitioned across the 'model' mesh axis.  Per frame each
+shard all-gathers the (small) state vector over ICI, applies its local slice
+of T̂ᵀ (edges partitioned by destination state), and per-frame normalizers /
+posterior reductions ride psum/pmax.  This replaces nothing in the reference
+— the reference is single-GPU (SURVEY §5.8) — it is the TPU-native scale-out
+of the same recursion, composed with data parallelism over the 'data' axis.
+
+Communication per frame: one all_gather of (S_total, B_local) f32 over ICI
+plus two scalar-sized pmax/psum for rescaling; the matvec itself is local.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import hostsparse as hs
+from ..fsm import FSM
+from ..inference import _Kernels, _fb_run
+from ..ops import semiring_ops as sops
+
+__all__ = [
+    "ShardedFSM",
+    "shard_compiled",
+    "sharded_pdfposteriors",
+    "sharded_logmarginal",
+]
+
+NEG_INF = -jnp.inf
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "alpha",
+        "state_pdf",
+        "is_final",
+        "fwd_gather",
+        "fwd_seg",
+        "fwd_w",
+        "bwd_gather",
+        "bwd_seg",
+        "bwd_w",
+    ],
+    meta_fields=["num_shards", "local_states", "num_pdfs"],
+)
+@dataclasses.dataclass
+class ShardedFSM:
+    """Range-partitioned compiled FSM.  All array fields carry a leading
+    shard axis (num_shards, ...); inside shard_map that axis is stripped."""
+
+    alpha: jnp.ndarray  # (G, Sl) local α̂ slices, -inf padded
+    state_pdf: jnp.ndarray  # (G, Sl) int32, padding -> num_pdfs
+    is_final: jnp.ndarray  # (G, Sl) bool, True only at the phony final state
+    # edges partitioned by destination (forward y = T̂ᵀ x):
+    fwd_gather: jnp.ndarray  # (G, E) GLOBAL source state index
+    fwd_seg: jnp.ndarray  # (G, E) LOCAL destination index (sorted)
+    fwd_w: jnp.ndarray  # (G, E)
+    # edges partitioned by source (backward y = T̂ x):
+    bwd_gather: jnp.ndarray  # (G, E) GLOBAL destination index
+    bwd_seg: jnp.ndarray  # (G, E) LOCAL source index (sorted)
+    bwd_w: jnp.ndarray
+    num_shards: int
+    local_states: int
+    num_pdfs: int
+
+    @property
+    def total_states(self) -> int:
+        return self.num_shards * self.local_states
+
+
+def shard_compiled(fsm: FSM, state_pdf, num_pdfs: int, num_shards: int,
+                   *, dtype=jnp.float32) -> ShardedFSM:
+    """Partition a host FSM's extended graph into ``num_shards`` contiguous
+    state ranges."""
+    state_pdf = np.asarray(state_pdf, dtype=np.int32)
+    S1 = len(fsm.alpha_hat)
+    Sl = _round_up(-(-S1 // num_shards), 8)
+    St = Sl * num_shards
+
+    alpha = np.full(St, -np.inf)
+    alpha[:S1] = fsm.alpha_hat
+    spdf = np.full(St, num_pdfs, dtype=np.int32)
+    spdf[:S1] = state_pdf
+    isf = np.zeros(St, dtype=bool)
+    isf[S1 - 1] = True
+
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    E = len(rows)
+
+    def partition(gather_g, seg_g, w):
+        """Partition edges by seg shard; returns (G, Emax) arrays."""
+        shard_of = seg_g // Sl
+        locals_ = seg_g % Sl
+        per = [np.flatnonzero(shard_of == g) for g in range(num_shards)]
+        Emax = max(_round_up(max((len(p) for p in per), default=0), 8), 8)
+        G = np.zeros((num_shards, Emax), dtype=np.int32)
+        Sg = np.full((num_shards, Emax), Sl - 1, dtype=np.int32)
+        W = np.full((num_shards, Emax), -np.inf)
+        for g, idx in enumerate(per):
+            order = np.argsort(locals_[idx], kind="stable")
+            idx = idx[order]
+            G[g, : len(idx)] = gather_g[idx]
+            Sg[g, : len(idx)] = locals_[idx]
+            W[g, : len(idx)] = w[idx]
+        return G, Sg, W
+
+    fg, fs, fw = partition(rows.astype(np.int64), cols.astype(np.int64), data)
+    bg, bs, bw = partition(cols.astype(np.int64), rows.astype(np.int64), data)
+
+    return ShardedFSM(
+        alpha=jnp.asarray(alpha.reshape(num_shards, Sl), dtype=dtype),
+        state_pdf=jnp.asarray(spdf.reshape(num_shards, Sl)),
+        is_final=jnp.asarray(isf.reshape(num_shards, Sl)),
+        fwd_gather=jnp.asarray(fg),
+        fwd_seg=jnp.asarray(fs),
+        fwd_w=jnp.asarray(fw, dtype=dtype),
+        bwd_gather=jnp.asarray(bg),
+        bwd_seg=jnp.asarray(bs),
+        bwd_w=jnp.asarray(bw, dtype=dtype),
+        num_shards=num_shards,
+        local_states=Sl,
+        num_pdfs=int(num_pdfs),
+    )
+
+
+def _local_kernels(sf_local, lengths, axis: str) -> _Kernels:
+    """Kernel bundle for one shard (arrays without the shard axis), with the
+    cross-shard collectives baked in."""
+    Sl = sf_local.alpha.shape[0]
+    is_ph = sf_local.is_final[:, None]
+    P1 = sf_local.num_pdfs + 1
+
+    def gathered_mv(gather, seg, w):
+        def mv(x_loc):
+            x_full = lax.all_gather(x_loc, axis, axis=0, tiled=True)
+            return sops.segment_matvec(gather, seg, w, x_full, Sl)
+
+        return mv
+
+    def elhs(lhs_t, t):
+        lhs_ext = jnp.concatenate(
+            [lhs_t.T, jnp.full((1, lhs_t.shape[0]), NEG_INF, lhs_t.dtype)],
+            axis=0,
+        )
+        x = lhs_ext[sf_local.state_pdf, :]
+        active = (t < lengths)[None, :]
+        return jnp.where(active, x, jnp.where(is_ph, 0.0, NEG_INF))
+
+    def colmax(y):
+        m = lax.pmax(jnp.max(y, axis=0), axis)
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+
+    def pdf_posts(gamma):
+        g_loc = sops.segment_logsumexp(gamma, sf_local.state_pdf, P1)
+        m = lax.pmax(g_loc, axis)
+        ms = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = lax.psum(jnp.exp(g_loc - ms), axis)
+        gpdf = jnp.where(s > 0, jnp.log(s) + ms, NEG_INF)
+        norm = sops.masked_logsumexp(gpdf, axis=0)
+        return jnp.exp(gpdf - jnp.where(jnp.isfinite(norm), norm, 0.0)[None, :])
+
+    def final_val(x, shift):
+        v = jnp.max(jnp.where(is_ph, x, NEG_INF), axis=0)
+        return lax.pmax(v, axis) + shift
+
+    return _Kernels(
+        alpha0=sf_local.alpha,
+        fwd_mv=gathered_mv(sf_local.fwd_gather, sf_local.fwd_seg, sf_local.fwd_w),
+        bwd_mv=gathered_mv(sf_local.bwd_gather, sf_local.bwd_seg, sf_local.bwd_w),
+        elhs=elhs,
+        colmax=colmax,
+        pdf_posts=pdf_posts,
+        final_val=final_val,
+    )
+
+
+def sharded_pdfposteriors(
+    sf: ShardedFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+    chunk_size: int = 64,
+):
+    """Forward-backward posteriors with the graph state-sharded over
+    ``model_axis`` and the batch optionally sharded over ``data_axis``.
+
+    Returns (posteriors (B, N, P), logZ (B,)) with batch sharded over the
+    data axis.
+    """
+    lhs = jnp.asarray(lhs)
+    if lengths is None:
+        lengths = jnp.full((lhs.shape[0],), lhs.shape[-2])
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), lhs.shape[-2])
+
+    dspec = P(data_axis) if data_axis else P()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(model_axis), sf),
+            dspec,
+            dspec,
+        ),
+        out_specs=(dspec, dspec),
+        check_vma=False,
+    )
+    def run(sf_local, lhs_l, len_l):
+        sf_local = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") else x, sf_local
+        )
+        kern = _local_kernels(sf_local, len_l, model_axis)
+        posts, logZ = _fb_run(
+            kern, lhs_l, len_l, chunk_size, True, sf.num_pdfs
+        )
+        return posts, logZ
+
+    return run(sf, lhs, lengths)
+
+
+def sharded_logmarginal(
+    sf: ShardedFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+    chunk_size: int = 64,
+):
+    """Differentiable sharded total log-marginal (gradient = posteriors),
+    same surrogate construction as inference.logmarginal."""
+    lhs = jnp.asarray(lhs)
+    lhs_sg = lax.stop_gradient(lhs)
+    posts, logZ = sharded_pdfposteriors(
+        jax.tree.map(lax.stop_gradient, sf),
+        lhs_sg,
+        lengths,
+        mesh=mesh,
+        model_axis=model_axis,
+        data_axis=data_axis,
+        chunk_size=chunk_size,
+    )
+    surr = jnp.einsum("bnp,bnp->b", posts, lhs - lhs_sg)
+    return logZ + surr

@@ -1,0 +1,226 @@
+"""Forward-backward / LF-MMI scoring vs an independent dense NumPy oracle.
+
+Mirrors the reference's (disabled but correct) test design: a plain-float
+log-space forward-backward with logsumexp is the parity oracle
+(reference test/test_algorithms.jl:28-63), including the ragged-batch
+"posteriors are exactly zero past seqlength" property (:248)."""
+import numpy as np
+import pytest
+from scipy.special import logsumexp
+
+import markovmodels_tpu as mm
+from markovmodels_tpu import hostsparse as hs
+from markovmodels_tpu import inference as inf
+from markovmodels_tpu.labels import Label
+
+import jax
+import jax.numpy as jnp
+
+
+def make_hmm(rng, S, P, *, lr=True):
+    """Random log-domain HMM as (FSM, state_pdf). lr=True: left-to-right."""
+    T = np.full((S, S), -np.inf)
+    for i in range(S):
+        if lr:
+            js = [j for j in (i, i + 1) if j < S]
+        else:
+            js = list(rng.choice(S, size=min(S, 3), replace=False))
+        w = rng.uniform(0.1, 1.0, size=len(js))
+        w /= w.sum() * rng.uniform(1.0, 1.5)
+        T[i, js] = np.log(w)
+    alpha = np.full(S, -np.inf)
+    alpha[0] = 0.0
+    omega = np.full(S, -np.inf)
+    omega[S - 1] = np.log(0.3)
+    labels = [Label(i % P) for i in range(S)]
+    fsm = mm.FSM.from_parts(alpha, hs.spmat_from_dense(T, mm.LOG), omega, labels, mm.LOG)
+    state_pdf = np.array([i % P for i in range(S)] + [P], dtype=np.int32)
+    return fsm, state_pdf, (alpha, T, omega)
+
+
+def oracle_fb(alpha, T, omega, state_pdf, loglik):
+    """Dense log-space forward-backward; returns (pdf posts (N, P), logZ)."""
+    N, P = loglik.shape
+    S = len(alpha)
+    lhs = loglik[:, state_pdf[:S]]  # (N, S)
+    logA = np.full((N, S), -np.inf)
+    logA[0] = alpha + lhs[0]
+    for t in range(1, N):
+        logA[t] = logsumexp(logA[t - 1][:, None] + T, axis=0) + lhs[t]
+    logB = np.full((N, S), -np.inf)
+    logB[N - 1] = omega
+    for t in range(N - 2, -1, -1):
+        logB[t] = logsumexp(T + (lhs[t + 1] + logB[t + 1])[None, :], axis=1)
+    logZ = logsumexp(logA[N - 1] + omega)
+    gamma = logA + logB - logZ  # (N, S)
+    posts = np.zeros((N, P))
+    for p in range(P):
+        sel = state_pdf[:S] == p
+        if sel.any():
+            posts[:, p] = np.exp(logsumexp(gamma[:, sel], axis=1))
+    return posts, logZ
+
+
+STRATEGIES = ["segment", "ell", "dense"]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_single_hmm_parity(strategy):
+    """BASELINE config 1: 5-state left-to-right HMM, T=100 frames."""
+    rng = np.random.default_rng(5)
+    S, P, N = 5, 3, 100
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P)
+    loglik = rng.normal(size=(1, N, P)).astype(np.float32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy=strategy)
+    posts, logZ = inf.pdfposteriors(cf, jnp.asarray(loglik), chunk_size=16)
+
+    ref_posts, ref_logZ = oracle_fb(alpha, T, omega, state_pdf, loglik[0].astype(np.float64))
+    np.testing.assert_allclose(float(logZ[0]), ref_logZ, atol=2e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(posts[0]), ref_posts, atol=2e-4)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_ragged_batch_shared_graph(strategy):
+    """BASELINE config 2-style: shared graph, ragged lengths."""
+    rng = np.random.default_rng(6)
+    S, P, N, B = 7, 4, 40, 5
+    fsm, state_pdf, parts = make_hmm(rng, S, P, lr=False)
+    # ensure reachability of final state for short utterances: add direct arcs
+    alpha, T, omega = parts
+    T = T.copy()
+    T[:, S - 1] = np.maximum(T[:, S - 1], np.log(0.05))
+    fsm = mm.FSM.from_parts(alpha, hs.spmat_from_dense(T, mm.LOG), omega,
+                            fsm.labels, mm.LOG)
+    lengths = np.array([40, 17, 23, 40, 9], dtype=np.int32)
+    loglik = rng.normal(size=(B, N, P)).astype(np.float32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy=strategy)
+    posts, logZ = inf.pdfposteriors(cf, jnp.asarray(loglik), jnp.asarray(lengths),
+                                    chunk_size=16)
+    posts, logZ = np.asarray(posts), np.asarray(logZ)
+
+    for b in range(B):
+        L = lengths[b]
+        ref_posts, ref_logZ = oracle_fb(alpha, T, omega, state_pdf,
+                                        loglik[b, :L].astype(np.float64))
+        np.testing.assert_allclose(logZ[b], ref_logZ, atol=2e-4, rtol=1e-5)
+        np.testing.assert_allclose(posts[b, :L], ref_posts, atol=2e-4)
+        # posteriors exactly zero past seqlength (reference test :248)
+        assert np.all(posts[b, L:] == 0.0)
+
+
+@pytest.mark.parametrize("strategy", ["segment", "ell", "dense"])
+def test_stacked_per_utterance_graphs(strategy):
+    """Heterogeneous per-utterance graphs, stacked + vmapped."""
+    rng = np.random.default_rng(7)
+    P, N = 4, 25
+    sizes = [4, 6, 5]
+    fsms, spdfs, denses = [], [], []
+    for S in sizes:
+        f, sp, d = make_hmm(rng, S, P)
+        fsms.append(f)
+        spdfs.append(sp)
+        denses.append(d)
+    cfs = [inf.compile_fsm(f, sp, P, strategy=strategy)
+           for f, sp in zip(fsms, spdfs)]
+    batch = inf.stack(cfs)
+    lengths = np.array([25, 12, 19], dtype=np.int32)
+    loglik = rng.normal(size=(3, N, P)).astype(np.float32)
+
+    posts, logZ = inf.pdfposteriors(batch, jnp.asarray(loglik),
+                                    jnp.asarray(lengths), chunk_size=8)
+    posts, logZ = np.asarray(posts), np.asarray(logZ)
+    for b, (f, sp, (alpha, T, omega)) in enumerate(zip(fsms, spdfs, denses)):
+        L = lengths[b]
+        ref_posts, ref_logZ = oracle_fb(alpha, T, omega, sp,
+                                        loglik[b, :L].astype(np.float64))
+        np.testing.assert_allclose(logZ[b], ref_logZ, atol=2e-4, rtol=1e-5)
+        np.testing.assert_allclose(posts[b, :L], ref_posts, atol=2e-4)
+        assert np.all(posts[b, L:] == 0.0)
+
+
+def test_gradient_is_posterior():
+    rng = np.random.default_rng(8)
+    S, P, N = 5, 3, 12
+    fsm, state_pdf, _ = make_hmm(rng, S, P)
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    loglik = jnp.asarray(rng.normal(size=(2, N, P)).astype(np.float32))
+    lengths = jnp.asarray([12, 7], dtype=jnp.int32)
+
+    grad = jax.grad(lambda x: inf.logmarginal(cf, x, lengths).sum())(loglik)
+    posts, _ = inf.pdfposteriors(cf, loglik, lengths)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(posts), atol=1e-6)
+
+    # finite-difference validation of d logZ / d lhs on a few coordinates
+    f = lambda x: float(inf.forward(cf, x, lengths)[0])
+    eps = 1e-3
+    for (t, p) in [(0, 0), (5, 2), (11, 1)]:
+        lp = loglik.at[0, t, p].add(eps)
+        lm = loglik.at[0, t, p].add(-eps)
+        fd = (f(lp) - f(lm)) / (2 * eps)
+        np.testing.assert_allclose(float(grad[0, t, p]), fd, atol=5e-3)
+
+
+def test_lfmmi_loss_runs_and_grads():
+    rng = np.random.default_rng(9)
+    P, N, B = 4, 20, 3
+    den_fsm, den_spdf, _ = make_hmm(rng, 8, P, lr=False)
+    den = inf.compile_fsm(den_fsm, den_spdf, P, strategy="segment")
+    nums = []
+    for _ in range(B):
+        f, sp, _ = make_hmm(rng, 5, P)
+        nums.append(inf.compile_fsm(f, sp, P, strategy="segment"))
+    num = inf.stack(nums)
+    loglik = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32))
+    lengths = jnp.asarray([20, 13, 17], dtype=jnp.int32)
+
+    loss, grad = jax.value_and_grad(
+        lambda x: inf.lfmmi_loss(num, den, x, lengths).mean()
+    )(loglik)
+    assert np.isfinite(float(loss))
+    gnum, _ = inf.pdfposteriors(num, loglik, lengths)
+    gden, _ = inf.pdfposteriors(den, loglik, lengths)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(gden - gnum) / B, atol=1e-6
+    )
+
+
+def test_expand_matches_reference_semantics():
+    """expand (P,N)->(P+1,N+1) per reference src/inference.jl:38-60."""
+    V = jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3))
+    out = np.asarray(inf.expand(V, 2))
+    assert out.shape == (3, 4)
+    np.testing.assert_allclose(out[:2, :2], np.asarray(V)[:, :2])
+    assert np.all(out[:2, 2:] == -np.inf)      # real rows zero(K) past length
+    assert np.all(out[2, :2] == -np.inf)       # phony row zero(K) inside
+    assert np.all(out[2, 2:] == 0.0)           # phony row one(K) past length
+
+
+def test_alpha_beta_recursions_give_posteriors():
+    rng = np.random.default_rng(14)
+    S, P, N = 5, 3, 10
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P)
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    loglik = jnp.asarray(rng.normal(size=(1, N, P)).astype(np.float32))
+
+    A = np.asarray(inf.alpha_recursion(cf, loglik))[0]  # (N+1, Sp)
+    Bm = np.asarray(inf.beta_recursion(cf, loglik))[0]
+    # logZ from either end matches the production path
+    logZ = float(inf.forward(cf, loglik)[0])
+    np.testing.assert_allclose(A[N, cf.num_states - 1], logZ, atol=1e-4)
+    from scipy.special import logsumexp as lse
+    np.testing.assert_allclose(
+        lse(A[0] + Bm[0]), logZ, atol=1e-4
+    )
+    # gamma = alpha ⊙ beta normalized per frame equals pdfposteriors
+    posts_ref, _ = inf.pdfposteriors(cf, loglik)
+    g = A + Bm  # (N+1, Sp)
+    for t in range(N):
+        pp = np.full(P + 1, -np.inf)
+        for p in range(P + 1):
+            sel = np.asarray(cf.state_pdf) == p
+            if sel.any():
+                pp[p] = lse(g[t][sel])
+        pp = np.exp(pp - lse(pp))
+        np.testing.assert_allclose(pp[:P], np.asarray(posts_ref[0, t]), atol=1e-4)

@@ -1,0 +1,109 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: data-parallel and
+state-sharded results must match the single-device recursion exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import markovmodels_tpu as mm
+from markovmodels_tpu import inference as inf
+from markovmodels_tpu.parallel import (
+    make_mesh,
+    shard_compiled,
+    sharded_pdfposteriors,
+    sharded_logmarginal,
+)
+from tests.test_inference import make_hmm, oracle_fb
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(21)
+    S, P = 37, 6  # deliberately not divisible by shard counts
+    fsm, state_pdf, parts = make_hmm(rng, S, P, lr=False)
+    return fsm, state_pdf, parts, P
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"data": -1, "model": 4})
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "model": 4})
+
+
+def test_state_sharded_matches_single_device(graph):
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(22)
+    B, N = 8, 21
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([21, 9, 15, 21, 4, 18, 21, 12], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    ref_posts, ref_logZ = inf.pdfposteriors(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths), chunk_size=8
+    )
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled(fsm, state_pdf, P, num_shards=4)
+    posts, logZ = sharded_pdfposteriors(
+        sf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh, chunk_size=8
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts), atol=1e-5)
+
+
+def test_state_sharded_model_only(graph):
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(23)
+    B, N = 3, 11
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    _, ref_logZ = inf.pdfposteriors(cf, jnp.asarray(lhs))
+
+    mesh = make_mesh({"model": 8})
+    sf = shard_compiled(fsm, state_pdf, P, num_shards=8)
+    _, logZ = sharded_pdfposteriors(
+        sf, jnp.asarray(lhs), mesh=mesh, data_axis=None
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ), atol=1e-5)
+
+
+def test_sharded_gradient(graph):
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(24)
+    B, N = 4, 9
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32))
+    lengths = jnp.asarray([9, 5, 9, 7], dtype=jnp.int32)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled(fsm, state_pdf, P, num_shards=4)
+    grad = jax.grad(
+        lambda x: sharded_logmarginal(sf, x, lengths, mesh=mesh).sum()
+    )(lhs)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    posts, _ = inf.pdfposteriors(cf, lhs, lengths)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(posts), atol=1e-5)
+
+
+def test_data_parallel_jit(graph):
+    """Replicated graph + batch sharded over the data axis under plain jit
+    (GSPMD handles the rest)."""
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(25)
+    B, N = 8, 13
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    ref_posts, ref_logZ = inf.pdfposteriors(cf, jnp.asarray(lhs))
+
+    mesh = make_mesh({"data": 8})
+    from jax.sharding import NamedSharding, PartitionSpec as Pp
+
+    lhs_sharded = jax.device_put(lhs, NamedSharding(mesh, Pp("data")))
+    f = jax.jit(lambda l: inf.pdfposteriors(cf, l))
+    posts, logZ = f(lhs_sharded)
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts), atol=1e-6)

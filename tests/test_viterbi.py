@@ -1,0 +1,90 @@
+"""Viterbi vs a dense max-plus DP oracle (the reference's historical
+bestpath/maxstateposteriors semantics, test/test_algorithms.jl:262-284)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import markovmodels_tpu as mm
+from markovmodels_tpu import inference as inf
+from markovmodels_tpu import viterbi as vit
+from tests.test_inference import make_hmm
+
+
+def oracle_viterbi(alpha, T, omega, state_pdf, loglik):
+    """Dense tropical DP; returns (best state path (N,), score)."""
+    N, P = loglik.shape
+    S = len(alpha)
+    lhs = loglik[:, state_pdf[:S]]
+    delta = np.full((N, S), -np.inf)
+    psi = np.zeros((N, S), dtype=np.int64)
+    delta[0] = alpha + lhs[0]
+    for t in range(1, N):
+        scores = delta[t - 1][:, None] + T  # (S, S)
+        # ties -> largest predecessor index (matches device kernels)
+        psi[t] = S - 1 - np.argmax(scores[::-1], axis=0)
+        delta[t] = scores[psi[t], np.arange(S)] + lhs[t]
+    end = delta[N - 1] + omega
+    last = int(np.argmax(end))
+    score = end[last]
+    path = [last]
+    for t in range(N - 1, 0, -1):
+        path.append(int(psi[t, path[-1]]))
+    return np.array(path[::-1]), score
+
+
+@pytest.mark.parametrize("strategy", ["segment", "ell"])
+def test_viterbi_single(strategy):
+    rng = np.random.default_rng(11)
+    S, P, N = 6, 3, 30
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P, lr=False)
+    T = T.copy()
+    T[:, S - 1] = np.maximum(T[:, S - 1], np.log(0.05))
+    from markovmodels_tpu import hostsparse as hs
+    fsm = mm.FSM.from_parts(alpha, hs.spmat_from_dense(T, mm.LOG), omega,
+                            fsm.labels, mm.LOG)
+    loglik = rng.normal(size=(1, N, P)).astype(np.float32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy=strategy)
+    states, score = vit.viterbi(cf, jnp.asarray(loglik))
+    ref_path, ref_score = oracle_viterbi(alpha, T, omega, state_pdf,
+                                         loglik[0].astype(np.float64))
+    np.testing.assert_allclose(float(score[0]), ref_score, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(states[0]), ref_path)
+
+
+def test_viterbi_ragged_batch():
+    rng = np.random.default_rng(12)
+    S, P, N, B = 5, 3, 25, 4
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P)
+    loglik = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([25, 11, 18, 25], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    states, score = vit.viterbi(cf, jnp.asarray(loglik), jnp.asarray(lengths))
+    states, score = np.asarray(states), np.asarray(score)
+    for b in range(B):
+        L = lengths[b]
+        ref_path, ref_score = oracle_viterbi(alpha, T, omega, state_pdf,
+                                             loglik[b, :L].astype(np.float64))
+        np.testing.assert_allclose(score[b], ref_score, atol=1e-4)
+        np.testing.assert_array_equal(states[b, :L], ref_path)
+        # past the sequence end the decoder sits on the phony final state
+        assert np.all(states[b, L:] == cf.num_states - 1)
+
+
+def test_maxstateposteriors_best_path_zero():
+    rng = np.random.default_rng(13)
+    S, P, N = 5, 3, 15
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P)
+    loglik = rng.normal(size=(1, N, P)).astype(np.float32)
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    gam, score = vit.maxstateposteriors(cf, jnp.asarray(loglik))
+    states, vscore = vit.viterbi(cf, jnp.asarray(loglik))
+    np.testing.assert_allclose(float(score[0]), float(vscore[0]), atol=1e-5)
+    # along the best path, the max-posterior is exactly the best score => 0
+    g = np.asarray(gam[0])
+    s = np.asarray(states[0])
+    np.testing.assert_allclose(g[np.arange(N), s], 0.0, atol=1e-4)
+    # no state beats the best path
+    assert np.max(g) <= 1e-4
