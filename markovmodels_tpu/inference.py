@@ -89,8 +89,9 @@ def _round_up(x, m):
         "dense_fwd_max",
         "dense_bwd_exp",
         "dense_bwd_max",
+        "pdf_onehot",
     ],
-    meta_fields=["num_states", "num_pdfs", "strategy", "batched"],
+    meta_fields=["num_states", "num_pdfs", "strategy", "batched", "precision", "domain"],
 )
 @dataclasses.dataclass
 class CompiledFSM:
@@ -126,11 +127,17 @@ class CompiledFSM:
     dense_fwd_max: Optional[jnp.ndarray]
     dense_bwd_exp: Optional[jnp.ndarray]
     dense_bwd_max: Optional[jnp.ndarray]
+    # optional one-hot Ĉᵀ (P+1, Sp) for the MXU pdf-posterior reduction
+    pdf_onehot: Optional[jnp.ndarray]
     # static metadata
     num_states: int  # actual S+1 (incl. phony, excl. padding)
     num_pdfs: int  # number of real pdfs P (phony pdf id = P)
     strategy: str  # 'dense' | 'ell' | 'segment'
     batched: bool
+    precision: str = "high"  # dense-matmul precision: 'bf16' | 'high' | 'f32'
+    # dense-scan value domain: 'prob' (rescaled probabilities, fastest) or
+    # 'log' (logsumexp per frame, marginally tighter at precision='f32')
+    domain: str = "prob"
 
     @property
     def padded_states(self) -> int:
@@ -156,6 +163,8 @@ def compile_fsm(
     *,
     strategy: str = "auto",
     dtype=jnp.float32,
+    precision: str = "high",
+    domain: str = "prob",
 ) -> CompiledFSM:
     """Lower a host FSM to the device representation.
 
@@ -214,7 +223,15 @@ def compile_fsm(
         dense_fwd_max=None,
         dense_bwd_exp=None,
         dense_bwd_max=None,
+        pdf_onehot=None,
     )
+
+    # one-hot Ĉᵀ: lets the per-frame pdf-posterior reduction run as a small
+    # MXU matmul instead of segment scatters (worth ~1MB for typical P·S)
+    if Sp * (num_pdfs + 1) <= 64 * 1024 * 1024:
+        oh = np.zeros((num_pdfs + 1, Sp), dtype=np.float32)
+        oh[spdf, np.arange(Sp)] = 1.0
+        kw["pdf_onehot"] = jnp.asarray(oh)
 
     if strategy == "ell":
 
@@ -260,6 +277,8 @@ def compile_fsm(
         num_pdfs=int(num_pdfs),
         strategy=strategy,
         batched=False,
+        precision=precision,
+        domain=domain,
         **kw,
     )
 
@@ -313,6 +332,11 @@ def stack(cfsms) -> CompiledFSM:
         dense_fwd_max=None,
         dense_bwd_exp=None,
         dense_bwd_max=None,
+        pdf_onehot=(
+            jnp.stack([pad_to(c.pdf_onehot, Sp, 0.0) for c in cfsms])
+            if all(c.pdf_onehot is not None for c in cfsms)
+            else None
+        ),
     )
     if strategy == "ell":
         kw["ell_fwd_src"] = jnp.stack(
@@ -345,6 +369,8 @@ def stack(cfsms) -> CompiledFSM:
         num_pdfs=num_pdfs,
         strategy=strategy,
         batched=True,
+        precision=cfsms[0].precision,
+        domain=cfsms[0].domain,
         **kw,
     )
 
@@ -358,7 +384,7 @@ def _make_matvec(cf: CompiledFSM, direction: str):
     if cf.strategy == "dense":
         e = cf.dense_fwd_exp if direction == "fwd" else cf.dense_bwd_exp
         m = cf.dense_fwd_max if direction == "fwd" else cf.dense_bwd_max
-        return lambda x: sops.dense_log_matvec(e, m, x)
+        return lambda x: sops.dense_log_matvec(e, m, x, precision=cf.precision)
     if cf.strategy == "ell":
         s = cf.ell_fwd_src if direction == "fwd" else cf.ell_bwd_src
         w = cf.ell_fwd_w if direction == "fwd" else cf.ell_bwd_w
@@ -393,8 +419,23 @@ def _colmax_safe(y):
 
 
 def _pdf_reduce(cf: CompiledFSM, gamma):
-    """Ĉᵀ(α⊙β): per-pdf logsumexp over states (reference
-    src/inference.jl:155), then per-frame normalization."""
+    """Ĉᵀ(α⊙β): per-pdf reduction over states + per-frame normalization
+    (reference src/inference.jl:155-156).
+
+    With a one-hot Ĉᵀ the whole reduction is one small MXU matmul in the
+    probability domain: gamma is already per-frame rescaled by the scan, so
+    exp(gamma - colmax) cannot overflow and normalization cancels colmax."""
+    if cf.pdf_onehot is not None:
+        m = _colmax_safe(gamma)
+        g = jnp.exp(gamma - m[None, :])  # (Sp, B); -inf -> 0
+        s = jnp.dot(
+            cf.pdf_onehot,
+            g,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        tot = jnp.sum(g, axis=0)  # every state maps to exactly one pdf
+        return s / jnp.where(tot > 0, tot, 1.0)[None, :]
     P1 = cf.num_pdfs + 1
     gpdf = sops.segment_logsumexp(gamma, cf.state_pdf, P1)
     norm = sops.masked_logsumexp(gpdf, axis=0)
@@ -437,55 +478,200 @@ def _fb_run(kern: _Kernels, lhs, lengths, chunk_size, want_posts, num_pdfs):
 
     x0 = jnp.broadcast_to(kern.alpha0[:, None], (Sl, B)).astype(lhs.dtype)
     shift0 = jnp.zeros(B, lhs.dtype)
+    comp0 = jnp.zeros(B, lhs.dtype)
 
     def fstep(carry, inp):
-        x, shift = carry
+        x, shift, comp = carry
         lhs_t, t = inp
         y = jnp.where(t == 0, x, kern.fwd_mv(x))
         y = y + kern.elhs(lhs_t, t)
         m = kern.colmax(y)
         y = y - m[None, :]
-        return (y, shift + m), None
+        shift, comp = _kahan_add(shift, comp, m)
+        return (y, shift, comp), None
 
     def fstep_save(carry, inp):
         new_carry, _ = fstep(carry, inp)
-        return new_carry, new_carry
+        return new_carry, new_carry[0]
 
     def chunk_fwd(carry, inp):
         boundary = carry
         new_carry, _ = lax.scan(fstep, carry, inp)
         return new_carry, boundary
 
-    (xF, shiftF), boundaries = lax.scan(chunk_fwd, (x0, shift0), (lhs_cm, ts_cm))
-    logZ = kern.final_val(xF, shiftF)
+    def bstep(bb, i):
+        a_t, lhs_t, t = i
+        y = jnp.where(t == Npad - 1, jnp.zeros_like(bb), kern.bwd_mv(bb))
+        m = kern.colmax(y)
+        y = y - m[None, :]
+        gamma = a_t + y
+        posts_t = kern.pdf_posts(gamma)  # (P+1, B)
+        bb_new = y + kern.elhs(lhs_t, t)
+        return bb_new, posts_t
 
-    if not want_posts:
-        return None, logZ
+    binit = jnp.zeros((Sl, B), lhs.dtype)
 
-    def chunk_bwd(carry, inp):
-        (xb, sb), lhs_k, ts_k = inp
-        _, (A_k, _) = lax.scan(fstep_save, (xb, sb), (lhs_k, ts_k))
+    if C == 1:
+        # full-memory mode: save every α frame in the forward scan, skip the
+        # recompute pass (2 matvecs/frame instead of 3)
+        (xF, shiftF, _), A = lax.scan(fstep_save, (x0, shift0, comp0), (lhs_tm, ts))
+        logZ = kern.final_val(xF, shiftF)
+        if not want_posts:
+            return None, logZ
+        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
+    else:
+        (xF, shiftF, _), boundaries = lax.scan(
+            chunk_fwd, (x0, shift0, comp0), (lhs_cm, ts_cm)
+        )
+        logZ = kern.final_val(xF, shiftF)
+        if not want_posts:
+            return None, logZ
 
-        def bstep(c, i):
-            bb, bshift = c
-            a_t, lhs_t, t = i
-            y = jnp.where(t == Npad - 1, jnp.zeros_like(bb), kern.bwd_mv(bb))
-            m = kern.colmax(y)
-            y = y - m[None, :]
-            gamma = a_t + y
-            posts_t = kern.pdf_posts(gamma)  # (P+1, B)
-            bb_new = y + kern.elhs(lhs_t, t)
-            return (bb_new, bshift + m), posts_t
+        def chunk_bwd(carry, inp):
+            bound, lhs_k, ts_k = inp
+            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k))
+            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
 
-        c2, posts_k = lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
-        return c2, posts_k
-
-    binit = (jnp.zeros((Sl, B), lhs.dtype), jnp.zeros(B, lhs.dtype))
-    _, posts = lax.scan(
-        chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
-    )
+        _, posts = lax.scan(
+            chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
+        )
     posts = posts.reshape(Npad, num_pdfs + 1, B)
     posts = jnp.moveaxis(posts, 2, 0)[:, :N, :num_pdfs]  # (B, N, P)
+    return posts, logZ
+
+
+def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
+    """Probability-domain dense scan (the fast path for the 'dense' strategy).
+
+    Instead of logsumexp per frame, the state vector is carried as
+    max-normalized probabilities with an accumulated log-shift
+    (pychain-style rescaling; cf. reference README's pychain comparison,
+    misc/benchmark/benchmark.py).  Per frame this is one MXU matmul plus
+    cheap multiplies — no exp/log over the (S, B) state matrix — which is
+    both faster and *more* accurate than the log-domain scan: f32 round-off
+    no longer passes through a log/exp pair every frame, so logZ parity
+    against the f64 oracle tightens from ~2e-4 to ~1e-5 at N=700.
+
+    Weight magnitudes: exp(W - row_max) is precomputed; arcs more than ~87
+    nats below their row maximum underflow f32 and vanish — far below the
+    engine's f32 resolution anyway.
+    """
+    B, N, P = lhs.shape
+    if P != cf.num_pdfs:
+        raise ValueError(f"lhs has {P} pdfs, graph expects {cf.num_pdfs}")
+    Sp = cf.padded_states
+    Nf = N + 1
+    K = min(chunk_size, Nf)
+    C = -(-Nf // K)
+    Npad = C * K
+    prec = sops._PRECISIONS[cf.precision]
+
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Npad, dtype=jnp.int32)
+    lhs_cm = lhs_tm.reshape(C, K, B, P)
+    ts_cm = ts.reshape(C, K)
+
+    scale_f = jnp.exp(cf.dense_fwd_max)  # (Sp,); -inf rows -> 0
+    scale_b = jnp.exp(cf.dense_bwd_max)
+    is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
+    onehot = cf.pdf_onehot  # (P+1, Sp)
+
+    def eprob(lhs_t, t):
+        """Per-frame emission probabilities (Sp, B) plus the log-shift that
+        was factored out of them."""
+        active = t < lengths  # (B,)
+        m_l = jnp.max(lhs_t, axis=1)  # (B,)
+        el = jnp.exp(lhs_t - m_l[:, None])  # (B, P) in (0, 1]
+        ext = jnp.concatenate(
+            [el.T, jnp.zeros((1, B), lhs_t.dtype)], axis=0
+        )  # (P+1, B)
+        x = ext[cf.state_pdf, :]
+        x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
+        return x, jnp.where(active, m_l, 0.0)
+
+    def mv(expw, scale, a):
+        return scale[:, None] * jnp.dot(
+            expw, a, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
+        lhs.dtype
+    )
+    shift0 = jnp.zeros(B, lhs.dtype)
+    comp0 = jnp.zeros(B, lhs.dtype)
+
+    def fstep(carry, inp):
+        a, shift, comp = carry
+        lhs_t, t = inp
+        p = jnp.where(t == 0, a, mv(cf.dense_fwd_exp, scale_f, a))
+        e, m_l = eprob(lhs_t, t)
+        y = p * e
+        m = jnp.max(y, axis=0)  # (B,)
+        ms = jnp.where(m > 0, m, 1.0)
+        y = y / ms[None, :]
+        shift, comp = _kahan_add(
+            shift, comp, jnp.where(m > 0, jnp.log(ms), 0.0) + m_l
+        )
+        return (y, shift, comp), None
+
+    def fstep_save(carry, inp):
+        new_carry, _ = fstep(carry, inp)
+        return new_carry, new_carry[0]
+
+    def final_val(a, shift):
+        v = jnp.take(a, cf.final_state, axis=0)
+        return jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF) + shift
+
+    def bstep(c, i):
+        bb = c
+        a_t, lhs_t, t = i
+        y = jnp.where(
+            t == Npad - 1,
+            jnp.ones_like(bb),
+            mv(cf.dense_bwd_exp, scale_b, bb),
+        )
+        m = jnp.max(y, axis=0)
+        y = y / jnp.where(m > 0, m, 1.0)[None, :]
+        gamma = a_t * y  # (Sp, B) probs, arbitrary per-frame scale
+        s = jnp.dot(
+            onehot, gamma, preferred_element_type=jnp.float32, precision=prec
+        )
+        tot = jnp.sum(gamma, axis=0)
+        posts_t = s / jnp.where(tot > 0, tot, 1.0)[None, :]
+        e, _ = eprob(lhs_t, t)
+        return y * e, posts_t
+
+    binit = jnp.ones((Sp, B), lhs.dtype)
+
+    if C == 1:
+        (aF, shiftF, _), A = lax.scan(fstep_save, (a0, shift0, comp0), (lhs_tm, ts))
+        logZ = final_val(aF, shiftF)
+        if not want_posts:
+            return None, logZ
+        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
+    else:
+        def chunk_fwd(carry, inp):
+            boundary = carry
+            new_carry, _ = lax.scan(fstep, carry, inp)
+            return new_carry, boundary
+
+        (aF, shiftF, _), boundaries = lax.scan(
+            chunk_fwd, (a0, shift0, comp0), (lhs_cm, ts_cm)
+        )
+        logZ = final_val(aF, shiftF)
+        if not want_posts:
+            return None, logZ
+
+        def chunk_bwd(carry, inp):
+            bound, lhs_k, ts_k = inp
+            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k))
+            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
+
+        _, posts = lax.scan(
+            chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
+        )
+    posts = posts.reshape(Npad, cf.num_pdfs + 1, B)
+    posts = jnp.moveaxis(posts, 2, 0)[:, :N, : cf.num_pdfs]
     return posts, logZ
 
 
@@ -502,12 +688,40 @@ def _make_kernels(cf: CompiledFSM, lengths) -> _Kernels:
 
 
 def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
+    if cf.strategy == "dense" and cf.domain == "prob" and cf.pdf_onehot is not None:
+        return _fb_dense_prob(cf, lhs, lengths, chunk_size, want_posts)
     kern = _make_kernels(cf, lengths)
     return _fb_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
 
 
+def _kahan_add(s, c, x):
+    """Compensated accumulation: returns updated (sum, compensation).
+
+    The per-frame rescaling shift is a running sum whose total reaches
+    O(N·|log-lik|); naive f32 accumulation alone costs ~1e-3 absolute on the
+    final log-marginal at N=700, dwarfing every other error source.  Kahan
+    summation removes it for two (B,)-sized flops per frame."""
+    y = x - c
+    t = s + y
+    return t, (t - s) - y
+
+
+_FULL_MEM_BYTES = 4 << 30  # keep saved alphas below ~4 GB of HBM
+
+
+def _auto_chunk(cf: CompiledFSM, lhs):
+    """Pick full-memory mode (save all alphas, 2 matvec passes/frame) when
+    the alpha tensor fits, else chunk-checkpoint (3 passes, O(sqrt-ish) mem)."""
+    Nf = lhs.shape[-2] + 1
+    batch = lhs.shape[0] if not cf.batched else 1
+    est = Nf * cf.padded_states * batch * lhs.dtype.itemsize
+    return Nf if est <= _FULL_MEM_BYTES else 64
+
+
 def _dispatch(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     lhs = jnp.asarray(lhs)
+    if chunk_size is None:
+        chunk_size = _auto_chunk(cf, lhs)
     if lengths is None:
         lengths = jnp.full((lhs.shape[0],), lhs.shape[-2])
     # clamp: a length beyond the frame count would keep the recursion off the
@@ -530,7 +744,7 @@ def _dispatch(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     return _fb_single(cf, lhs, lengths, chunk_size, want_posts)
 
 
-def pdfposteriors(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+def pdfposteriors(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int | None = None):
     """Batched LF-MMI posterior computation (reference ``pdfposteriors``,
     src/inference.jl:145-205).
 
@@ -543,13 +757,13 @@ def pdfposteriors(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
     return _dispatch(cf, lhs, lengths, chunk_size, True)
 
 
-def forward(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+def forward(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int | None = None):
     """Forward pass only: log-marginals logZ (B,)."""
     _, logZ = _dispatch(cf, lhs, lengths, chunk_size, False)
     return logZ
 
 
-def logmarginal(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int = 64):
+def logmarginal(cf: CompiledFSM, lhs, lengths=None, *, chunk_size: int | None = None):
     """Differentiable total log-marginal log p(X | graph), (B,).
 
     d logZ / d lhs = pdf posteriors (standard LF-MMI identity); implemented
@@ -571,7 +785,7 @@ def lfmmi_loss(
     lhs,
     lengths=None,
     *,
-    chunk_size: int = 64,
+    chunk_size: int | None = None,
 ):
     """LF-MMI objective per utterance: -(log p_num - log p_den), (B,).
 

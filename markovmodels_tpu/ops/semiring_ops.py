@@ -115,7 +115,18 @@ def make_dense_operator(dense_w):
     return exp_w, row_max
 
 
-def dense_log_matvec(exp_w, row_max, x):
+_PRECISIONS = {
+    # On TPU a DEFAULT f32 matmul runs single-pass bf16 (~7e-3 log error on
+    # the WSJ graph — opt-in speed mode); HIGH (3-pass bf16) matches HIGHEST
+    # (6-pass) to ~2e-7 here because f32 exp/log round-off dominates, at ~70%
+    # of the cost.  Measured on v5e, see bench history.
+    "bf16": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "f32": jax.lax.Precision.HIGHEST,
+}
+
+
+def dense_log_matvec(exp_w, row_max, x, precision: str = "high"):
     """y[j, b] = logsumexp_i(W[j, i] + x[i, b]) on the MXU.
 
     Exactness note: the max-rescaling bound is per-(row, column) rather than
@@ -125,13 +136,11 @@ def dense_log_matvec(exp_w, row_max, x):
     """
     col_max = jnp.max(x, axis=0)  # (B,)
     ex = jnp.exp(x - _safe(col_max)[None, :])
-    # HIGHEST: on TPU the default f32 matmul uses bf16 passes, which costs
-    # ~3 decimal digits on the log-marginals; full f32 keeps parity at 1e-6.
     p = jnp.dot(
         exp_w,
         ex,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
     )
     return jnp.where(
         p > 0, jnp.log(p) + row_max[:, None] + _safe(col_max)[None, :], NEG_INF
