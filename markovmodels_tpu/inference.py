@@ -90,8 +90,19 @@ def _round_up(x, m):
         "dense_bwd_exp",
         "dense_bwd_max",
         "pdf_onehot",
+        "block_fwd",
+        "block_bwd",
     ],
-    meta_fields=["num_states", "num_pdfs", "strategy", "batched", "precision", "domain"],
+    meta_fields=[
+        "num_states",
+        "num_pdfs",
+        "strategy",
+        "batched",
+        "precision",
+        "domain",
+        "block_fwd_offsets",
+        "block_bwd_offsets",
+    ],
 )
 @dataclasses.dataclass
 class CompiledFSM:
@@ -129,6 +140,9 @@ class CompiledFSM:
     dense_bwd_max: Optional[jnp.ndarray]
     # optional one-hot Ĉᵀ (P+1, Sp) for the MXU pdf-posterior reduction
     pdf_onehot: Optional[jnp.ndarray]
+    # optional blocked gather-matmul-scatter operators (ops/blocked.py)
+    block_fwd: Optional[object]
+    block_bwd: Optional[object]
     # static metadata
     num_states: int  # actual S+1 (incl. phony, excl. padding)
     num_pdfs: int  # number of real pdfs P (phony pdf id = P)
@@ -138,6 +152,8 @@ class CompiledFSM:
     # dense-scan value domain: 'prob' (rescaled probabilities, fastest) or
     # 'log' (logsumexp per frame, marginally tighter at precision='f32')
     domain: str = "prob"
+    block_fwd_offsets: tuple = ()
+    block_bwd_offsets: tuple = ()
 
     @property
     def padded_states(self) -> int:
@@ -186,14 +202,12 @@ def compile_fsm(
     max_indeg = int(np.bincount(cols, minlength=S1).max()) if E else 0
 
     if strategy == "auto":
-        if S1 <= 4096:
-            strategy = "dense"
-        elif max_indeg <= 32:
-            strategy = "ell"
-        else:
-            strategy = "segment"
+        # dense MXU operator while the S^2 matrix is cheap; blocked
+        # gather-matmul-scatter beyond (ops/blocked.py); 'ell'/'segment'
+        # remain for low-degree graphs and exact log-domain needs.
+        strategy = "dense" if S1 <= 4096 else "block"
 
-    Sp = _round_up(S1, 128 if strategy == "dense" else 8)
+    Sp = _round_up(S1, 128 if strategy in ("dense", "block") else 8)
     Ep = max(_round_up(E, 8), 8)
 
     alpha_hat = np.full(Sp, -np.inf, dtype=np.float64)
@@ -224,7 +238,10 @@ def compile_fsm(
         dense_bwd_exp=None,
         dense_bwd_max=None,
         pdf_onehot=None,
+        block_fwd=None,
+        block_bwd=None,
     )
+    meta = dict(block_fwd_offsets=(), block_bwd_offsets=())
 
     # one-hot Ĉᵀ: lets the per-frame pdf-posterior reduction run as a small
     # MXU matmul instead of segment scatters (worth ~1MB for typical P·S)
@@ -232,6 +249,16 @@ def compile_fsm(
         oh = np.zeros((num_pdfs + 1, Sp), dtype=np.float32)
         oh[spdf, np.arange(Sp)] = 1.0
         kw["pdf_onehot"] = jnp.asarray(oh)
+
+    if strategy == "block":
+        from .ops.blocked import build_block_operator
+
+        op, offs = build_block_operator(rows, cols, data, Sp)
+        kw["block_fwd"] = op
+        meta["block_fwd_offsets"] = offs
+        op, offs = build_block_operator(cols, rows, data, Sp)
+        kw["block_bwd"] = op
+        meta["block_bwd_offsets"] = offs
 
     if strategy == "ell":
 
@@ -279,6 +306,7 @@ def compile_fsm(
         batched=False,
         precision=precision,
         domain=domain,
+        **meta,
         **kw,
     )
 
@@ -295,6 +323,8 @@ def stack(cfsms) -> CompiledFSM:
     num_pdfs = cfsms[0].num_pdfs
     if any(c.strategy != strategy or c.num_pdfs != num_pdfs for c in cfsms):
         raise ValueError("stack requires matching strategy and num_pdfs")
+    if strategy == "block":
+        raise ValueError("stack does not support the 'block' strategy")
 
     Sp = max(c.padded_states for c in cfsms)
     Ep = max(c.fwd_src.shape[-1] for c in cfsms)
@@ -337,6 +367,8 @@ def stack(cfsms) -> CompiledFSM:
             if all(c.pdf_onehot is not None for c in cfsms)
             else None
         ),
+        block_fwd=None,
+        block_bwd=None,
     )
     if strategy == "ell":
         kw["ell_fwd_src"] = jnp.stack(
@@ -540,21 +572,20 @@ def _fb_run(kern: _Kernels, lhs, lengths, chunk_size, want_posts, num_pdfs):
     return posts, logZ
 
 
-def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
-    """Probability-domain dense scan (the fast path for the 'dense' strategy).
+def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
+             fwd_pmv, bwd_pmv):
+    """Probability-domain scan (fast path for the 'dense' and 'block'
+    strategies).
 
     Instead of logsumexp per frame, the state vector is carried as
     max-normalized probabilities with an accumulated log-shift
     (pychain-style rescaling; cf. reference README's pychain comparison,
-    misc/benchmark/benchmark.py).  Per frame this is one MXU matmul plus
-    cheap multiplies — no exp/log over the (S, B) state matrix — which is
-    both faster and *more* accurate than the log-domain scan: f32 round-off
-    no longer passes through a log/exp pair every frame, so logZ parity
-    against the f64 oracle tightens from ~2e-4 to ~1e-5 at N=700.
+    misc/benchmark/benchmark.py).  Per frame this is one MXU matvec
+    (``fwd_pmv``/``bwd_pmv``: dense operator or blocked gather-matmul-
+    scatter) plus cheap multiplies — no exp/log over the (S, B) state matrix.
 
-    Weight magnitudes: exp(W - row_max) is precomputed; arcs more than ~87
-    nats below their row maximum underflow f32 and vanish — far below the
-    engine's f32 resolution anyway.
+    Weight magnitudes: probabilities below f32 range (~e-87 relative)
+    underflow and vanish — far below the engine's f32 resolution anyway.
     """
     B, N, P = lhs.shape
     if P != cf.num_pdfs:
@@ -571,10 +602,8 @@ def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
-    scale_f = jnp.exp(cf.dense_fwd_max)  # (Sp,); -inf rows -> 0
-    scale_b = jnp.exp(cf.dense_bwd_max)
     is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
-    onehot = cf.pdf_onehot  # (P+1, Sp)
+    onehot = cf.pdf_onehot  # (P+1, Sp) or None
 
     def eprob(lhs_t, t):
         """Per-frame emission probabilities (Sp, B) plus the log-shift that
@@ -589,11 +618,6 @@ def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
         x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
         return x, jnp.where(active, m_l, 0.0)
 
-    def mv(expw, scale, a):
-        return scale[:, None] * jnp.dot(
-            expw, a, preferred_element_type=jnp.float32, precision=prec
-        )
-
     a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
         lhs.dtype
     )
@@ -603,7 +627,7 @@ def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     def fstep(carry, inp):
         a, shift, comp = carry
         lhs_t, t = inp
-        p = jnp.where(t == 0, a, mv(cf.dense_fwd_exp, scale_f, a))
+        p = jnp.where(t == 0, a, fwd_pmv(a))
         e, m_l = eprob(lhs_t, t)
         y = p * e
         m = jnp.max(y, axis=0)  # (B,)
@@ -625,17 +649,18 @@ def _fb_dense_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     def bstep(c, i):
         bb = c
         a_t, lhs_t, t = i
-        y = jnp.where(
-            t == Npad - 1,
-            jnp.ones_like(bb),
-            mv(cf.dense_bwd_exp, scale_b, bb),
-        )
+        y = jnp.where(t == Npad - 1, jnp.ones_like(bb), bwd_pmv(bb))
         m = jnp.max(y, axis=0)
         y = y / jnp.where(m > 0, m, 1.0)[None, :]
         gamma = a_t * y  # (Sp, B) probs, arbitrary per-frame scale
-        s = jnp.dot(
-            onehot, gamma, preferred_element_type=jnp.float32, precision=prec
-        )
+        if onehot is not None:
+            s = jnp.dot(
+                onehot, gamma, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        else:
+            s = jnp.zeros((cf.num_pdfs + 1, B), gamma.dtype)
+            s = s.at[cf.state_pdf].add(gamma)
         tot = jnp.sum(gamma, axis=0)
         posts_t = s / jnp.where(tot > 0, tot, 1.0)[None, :]
         e, _ = eprob(lhs_t, t)
@@ -687,9 +712,41 @@ def _make_kernels(cf: CompiledFSM, lengths) -> _Kernels:
     )
 
 
+def _make_prob_matvecs(cf: CompiledFSM):
+    """Probability-domain matvec closures for the prob-domain scan."""
+    prec = sops._PRECISIONS[cf.precision]
+    if cf.strategy == "dense":
+        scale_f = jnp.exp(cf.dense_fwd_max)  # (Sp,); -inf rows -> 0
+        scale_b = jnp.exp(cf.dense_bwd_max)
+
+        def mv(expw, scale, a):
+            return scale[:, None] * jnp.dot(
+                expw, a, preferred_element_type=jnp.float32, precision=prec
+            )
+
+        return (
+            lambda a: mv(cf.dense_fwd_exp, scale_f, a),
+            lambda a: mv(cf.dense_bwd_exp, scale_b, a),
+        )
+    if cf.strategy == "block":
+        from .ops.blocked import block_matvec
+
+        return (
+            lambda a: block_matvec(cf.block_fwd, cf.block_fwd_offsets, a, prec),
+            lambda a: block_matvec(cf.block_bwd, cf.block_bwd_offsets, a, prec),
+        )
+    raise ValueError(f"no prob-domain matvec for strategy {cf.strategy!r}")
+
+
 def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
-    if cf.strategy == "dense" and cf.domain == "prob" and cf.pdf_onehot is not None:
-        return _fb_dense_prob(cf, lhs, lengths, chunk_size, want_posts)
+    if cf.domain == "prob" and (
+        (cf.strategy == "dense" and cf.pdf_onehot is not None)
+        or cf.strategy == "block"
+    ):
+        fwd_pmv, bwd_pmv = _make_prob_matvecs(cf)
+        return _fb_prob(
+            cf, lhs, lengths, chunk_size, want_posts, fwd_pmv, bwd_pmv
+        )
     kern = _make_kernels(cf, lengths)
     return _fb_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
 

@@ -61,7 +61,7 @@ def oracle_fb(alpha, T, omega, state_pdf, loglik):
     return posts, logZ
 
 
-STRATEGIES = ["segment", "ell", "dense"]
+STRATEGIES = ["segment", "ell", "dense", "block"]
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
