@@ -738,7 +738,64 @@ def _make_prob_matvecs(cf: CompiledFSM):
     raise ValueError(f"no prob-domain matvec for strategy {cf.strategy!r}")
 
 
+def _fb_prob_pallas(cf: CompiledFSM, lhs, lengths, want_posts):
+    """Fused Pallas scan (ops/pallas_scan.py): the graph operator stays
+    resident in VMEM across all frames instead of being re-streamed from HBM
+    per frame under ``lax.scan`` — the step past the reference's per-frame
+    CUDA SpMV launches (src/inference.jl:69-73)."""
+    from .ops import pallas_scan as ps
+
+    B, N, P = lhs.shape
+    if P != cf.num_pdfs:
+        raise ValueError(f"lhs has {P} pdfs, graph expects {cf.num_pdfs}")
+    ext, mshift = ps.prepare_emissions(lhs, lengths, P)
+    # prob-domain operators: exp(row_max) folded back into the exp-shifted
+    # matrix (renormed graph weights keep these in f32 range)
+    wp_f = jnp.exp(cf.dense_fwd_max)[:, None] * cf.dense_fwd_exp
+    wp_b = jnp.exp(cf.dense_bwd_max)[:, None] * cf.dense_bwd_exp
+    oh_state = cf.pdf_onehot.T  # (Sp, P1)
+    a0 = jnp.broadcast_to(
+        jnp.exp(cf.alpha_hat)[:, None], (cf.padded_states, B)
+    ).astype(jnp.float32)
+    alphas, afin, shift = ps.fused_forward(
+        wp_f, oh_state, ext, mshift, a0,
+        save_alphas=want_posts, precision=cf.precision,
+    )
+    v = jnp.take(afin, cf.final_state, axis=0)
+    logZ = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF) + shift
+    if not want_posts:
+        return None, logZ
+    posts = ps.fused_backward(
+        wp_b, cf.pdf_onehot, oh_state, ext, alphas, precision=cf.precision
+    )  # (Nf, P1, B)
+    posts = jnp.moveaxis(posts, 2, 0)[:, :N, :P]
+    return posts, logZ
+
+
+def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
+    import os
+
+    from .ops import pallas_scan as ps
+
+    if os.environ.get("MMTPU_NO_PALLAS"):
+        return False
+    if not (
+        cf.strategy == "dense"
+        and cf.domain == "prob"
+        and cf.pdf_onehot is not None
+        and not cf.batched
+    ):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return ps.pallas_scan_supported(
+        cf.padded_states, lhs.shape[0], cf.num_pdfs + 1
+    )
+
+
 def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
+    if _pallas_ok(cf, lhs):
+        return _fb_prob_pallas(cf, lhs, lengths, want_posts)
     if cf.domain == "prob" and (
         (cf.strategy == "dense" and cf.pdf_onehot is not None)
         or cf.strategy == "block"
