@@ -24,40 +24,19 @@ import numpy as np
 
 WSJ_FST = "/root/reference/misc/benchmark/den_fsm_wsj.txt"
 BASELINE_AUDIO_S_PER_S = 1342.0  # GTX 1080, 2.003 s for 128x700 @ 30 ms
+# BASELINE.md north star: >=10k audio-s/s per v5e *host* (8 chips) on the
+# 2M-arc graph -> 1250 per chip is 1.0x.
+NORTH_STAR_PER_CHIP = 1250.0
 FRAME_SHIFT_S = 0.03
 
 
 def load_wsj_fst(path):
-    """Parse the reference's OpenFST-style text graph
-    (emitted by misc/benchmark/generatefsm.jl:42-57: 1-based states, weights
-    stored negated, ilabel = 1-based pdf id of the destination state)."""
-    alpha_pairs, arc_pairs, omega_pairs = [], [], []
-    state_pdf = {}
-    max_state = 0
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) == 5:
-                i, j, p = int(parts[0]), int(parts[1]), int(parts[2])
-                w = -float(parts[4])
-                max_state = max(max_state, i, j)
-                state_pdf[j - 1] = p - 1
-                if i == 0:
-                    alpha_pairs.append((j - 1, w))
-                else:
-                    arc_pairs.append(((i - 1, j - 1), w))
-            elif len(parts) == 2:
-                i, w = int(parts[0]), -float(parts[1])
-                max_state = max(max_state, i)
-                omega_pairs.append((i - 1, w))
-    S = max_state
-    import markovmodels_tpu as mm
-    from markovmodels_tpu.labels import Label
+    """Parse the reference's OpenFST-style text graph via the shared loader
+    (C++ parser when available; conventions documented at
+    serialization.load_openfst_lfmmi)."""
+    from markovmodels_tpu.serialization import load_openfst_lfmmi
 
-    labels = [Label(state_pdf.get(i, 0)) for i in range(S)]
-    fsm = mm.FSM.from_pairs(alpha_pairs, arc_pairs, omega_pairs, labels, mm.LOG)
-    spdf = np.array([state_pdf.get(i, 0) for i in range(S)] + [84], dtype=np.int32)
-    return fsm, spdf, 84
+    return load_openfst_lfmmi(path, num_pdfs=84)
 
 
 def host_oracle_logZ(fsm, spdf, num_pdfs, lhs, lengths):
@@ -118,6 +97,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent jit cache: warm driver reruns skip XLA compilation
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/markovmodels_tpu/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import markovmodels_tpu as mm
     from markovmodels_tpu import inference as inf
     from markovmodels_tpu.workloads import make_lm_hmm_graph
@@ -139,6 +127,23 @@ def main():
     print(f"# 2m fwd-bwd: {t_2m:.4f} s -> {v_2m:.0f} audio-s/s", file=sys.stderr)
     del cf, lhs
 
+    # Headline JSON first: the WSJ comparison below is informational and must
+    # not cost the driver the headline if its harness timeout is tight
+    # (cold compile of both workloads is minutes on a fresh TPU cache).
+    print(
+        json.dumps(
+            {
+                "metric": "audio-seconds/s/chip LF-MMI fwd-bwd (2M-arc den "
+                          "graph, B=128, N=700, f32); log-marginal f64-oracle "
+                          "parity gated",
+                "value": round(v_2m, 1),
+                "unit": "audio-s/s",
+                "vs_baseline": round(v_2m / NORTH_STAR_PER_CHIP, 2),
+            }
+        ),
+        flush=True,
+    )
+
     # ---- workload 2: reference WSJ benchmark ----------------------------
     v_wsj = None
     if os.path.exists(WSJ_FST):
@@ -154,20 +159,6 @@ def main():
             f"(reference GPU: 2.003 s -> 1342; speedup {2.003 / t_wsj:.1f}x)",
             file=sys.stderr,
         )
-
-    print(
-        json.dumps(
-            {
-                "metric": "audio-seconds/s/chip LF-MMI fwd-bwd (2M-arc den graph, B=128, N=700, f32); log-marginal f64-oracle parity gated",
-                "value": round(v_2m, 1),
-                "unit": "audio-s/s",
-                "vs_baseline": round(
-                    (v_wsj or v_2m) / BASELINE_AUDIO_S_PER_S, 2
-                ),
-            }
-        )
-    )
-
 
 if __name__ == "__main__":
     main()

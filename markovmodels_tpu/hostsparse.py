@@ -19,8 +19,13 @@ from typing import Sequence
 
 import numpy as np
 
+from . import native
 from .labels import PySemiring
 from .semiring import Semiring
+
+# Below this nnz the vectorized-numpy path wins (no ctypes marshalling) and
+# stays the reference implementation the native path is tested against.
+_NATIVE_MIN_NNZ = 4096
 
 __all__ = [
     "SpVec",
@@ -174,6 +179,10 @@ def spmat_from_coo(rows, cols, data, shape, sr) -> SpMat:
             d[k] = data[k]
         data = d
     m, n = shape
+    if _is_numeric(sr) and len(rows) >= _NATIVE_MIN_NNZ:
+        res = native.coo_to_csr(rows, cols, data, m, sr.name)
+        if res is not None:
+            return SpMat((m, n), *res)
     keys = rows * n + cols
     order = np.argsort(keys, kind="stable")
     rows, cols, data, keys = rows[order], cols[order], data[order], keys[order]
@@ -261,6 +270,10 @@ def vcat_spvec(vecs: Sequence[SpVec], sr) -> SpVec:
 
 
 def transpose(a: SpMat, sr) -> SpMat:
+    if _is_numeric(sr) and a.nnz >= _NATIVE_MIN_NNZ:
+        res = native.csr_transpose(a.shape, a.indptr, a.indices, a.data)
+        if res is not None:
+            return SpMat((a.shape[1], a.shape[0]), *res)
     rows = a.row_ids()
     return spmat_from_coo(a.indices, rows, a.data, (a.shape[1], a.shape[0]), sr)
 
@@ -291,6 +304,12 @@ def submatrix(a: SpMat, rstop: int, cstop: int, sr) -> SpMat:
 
 def _seg_reduce(sr, contrib, indptr, m):
     """Per-row ⊕-reduction of CSR-grouped contributions."""
+    if _is_numeric(sr) and len(contrib) >= _NATIVE_MIN_NNZ:
+        res = native.segment_reduce(
+            indptr, np.asarray(contrib, dtype=np.float64), sr.name, sr.zero
+        )
+        if res is not None:
+            return res
     out = _dense_zeros(sr, m)
     counts = np.diff(indptr)
     nonempty = counts > 0

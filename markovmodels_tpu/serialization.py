@@ -18,11 +18,91 @@ import json
 import numpy as np
 
 from . import hostsparse as hs
+from . import native
 from .fsm import FSM
 from .labels import Label
 from .semiring import get_semiring
 
-__all__ = ["save_fsm", "load_fsm", "save_compiled", "load_compiled"]
+__all__ = [
+    "save_fsm",
+    "load_fsm",
+    "save_compiled",
+    "load_compiled",
+    "read_openfst_text",
+    "load_openfst_lfmmi",
+]
+
+
+def read_openfst_text(path: str) -> dict:
+    """Parse an OpenFST-style text graph into raw arrays.
+
+    Grammar (the format the reference benchmark emits,
+    misc/benchmark/generatefsm.jl:42-57): arc lines
+    ``src dst ilabel olabel [weight]`` and final lines ``state [weight]``.
+    Returns arrays ``src dst ilabel olabel weight final_state final_weight``
+    exactly as written (1-based ids, negated weights and all — interpretation
+    is the caller's). Uses the C++ parser when available.
+    """
+    res = native.parse_fst_text(path)
+    if res is not None:
+        return res
+    src, dst, ilab, olab, w, fstate, fw = [], [], [], [], [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 4:
+                src.append(int(parts[0]))
+                dst.append(int(parts[1]))
+                ilab.append(int(parts[2]))
+                olab.append(int(parts[3]))
+                w.append(float(parts[4]) if len(parts) == 5 else 0.0)
+            elif parts:
+                fstate.append(int(parts[0]))
+                fw.append(float(parts[1]) if len(parts) == 2 else 0.0)
+    return {
+        "src": np.asarray(src, np.int64),
+        "dst": np.asarray(dst, np.int64),
+        "ilabel": np.asarray(ilab, np.int64),
+        "olabel": np.asarray(olab, np.int64),
+        "weight": np.asarray(w, np.float64),
+        "final_state": np.asarray(fstate, np.int64),
+        "final_weight": np.asarray(fw, np.float64),
+    }
+
+
+def load_openfst_lfmmi(path: str, num_pdfs: int | None = None):
+    """Load a reference LF-MMI graph from OpenFST text into (FSM, state_pdf,
+    num_pdfs), fully vectorized.
+
+    Conventions of the reference's emitter (misc/benchmark/generatefsm.jl:
+    42-57): 1-based state ids with the start state as id 0's successors
+    (arcs from state 0 are the initial weights), weights stored negated
+    (tropical-convention positive costs), ``ilabel`` = 1-based pdf id of the
+    *destination* state. Log semiring.
+    """
+    from .semiring import LOG
+
+    raw = read_openfst_text(path)
+    src, dst, w = raw["src"], raw["dst"], -raw["weight"]
+    ilab = raw["ilabel"]
+    S = int(max(raw["dst"].max(initial=0), raw["src"].max(initial=0),
+                raw["final_state"].max(initial=0)))
+    # per-state pdf from destination ilabels (0-based)
+    state_pdf_s = np.zeros(S, dtype=np.int64)
+    state_pdf_s[dst - 1] = ilab - 1
+    init = src == 0
+    alpha = LOG.zeros(S)
+    alpha[dst[init] - 1] = w[init]
+    rows, cols, data = src[~init] - 1, dst[~init] - 1, w[~init]
+    omega = LOG.zeros(S)
+    omega[raw["final_state"] - 1] = -raw["final_weight"]
+    T = hs.spmat_from_coo(rows, cols, data, (S, S), LOG)
+    if num_pdfs is None:
+        num_pdfs = int(state_pdf_s.max()) + 1
+    labels = [Label(int(p)) for p in state_pdf_s]
+    fsm = FSM.from_parts(alpha, T, omega, labels, LOG)
+    spdf = np.append(state_pdf_s, num_pdfs).astype(np.int32)
+    return fsm, spdf, num_pdfs
 
 
 def save_fsm(path: str, fsm: FSM, state_pdf=None) -> None:

@@ -39,3 +39,27 @@ def test_compiled_roundtrip_all_strategies(tmp_path):
     for strategy in ("segment", "ell", "dense", "block"):
         cf = inf.compile_fsm(fsm, spdf, 4, strategy=strategy)
         _roundtrip_check(cf, tmp_path, f"{strategy}.npz", lhs, lengths)
+
+
+def test_load_openfst_lfmmi_conventions(tmp_path):
+    """OpenFST-text LF-MMI loader: 1-based ids, negated weights, arcs from
+    state 0 are initial weights, ilabel = destination state's 1-based pdf."""
+    import numpy as np
+
+    from markovmodels_tpu.serialization import load_openfst_lfmmi
+
+    p = tmp_path / "g.txt"
+    p.write_text(
+        "0 1 1 1 -0.1\n"   # init: state 1 (0-based 0), alpha = 0.1, pdf 0
+        "1 2 2 2 0.7\n"    # arc 0->1 weight -0.7, state 1 has pdf 1
+        "2 1 1 1 0.3\n"    # arc 1->0 weight -0.3
+        "2 0.25\n"         # final state 1 (0-based), omega = -0.25
+    )
+    fsm, spdf, P = load_openfst_lfmmi(str(p))
+    assert P == 2
+    assert fsm.num_states == 2
+    np.testing.assert_allclose(fsm.alpha, [0.1, fsm.sr.zero])
+    np.testing.assert_allclose(fsm.omega, [fsm.sr.zero, -0.25])
+    arcs = dict(((i, j), w) for i, j, w in fsm.arcs())
+    assert np.isclose(arcs[(0, 1)], -0.7) and np.isclose(arcs[(1, 0)], -0.3)
+    np.testing.assert_array_equal(spdf, [0, 1, 2])
