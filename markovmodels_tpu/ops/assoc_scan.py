@@ -134,7 +134,10 @@ def assoc_forward(cf, lhs, lengths=None, *, chunk: int = 16,
         # 3) logZ from the total product
         vN = prefixes[-1] @ v0
         val = vN[cf.final_state]
-        total_shift = pshifts[-1] + jnp.sum(shifts)
+        # shifts covers frames 1..N; v0 was built from e[0] which factored
+        # out m_l[0], so the frame-0 shift must be restored here (m_l is
+        # already zero-masked past the sequence length).
+        total_shift = pshifts[-1] + jnp.sum(shifts) + m_l[0]
         return jnp.where(
             val > 0, jnp.log(jnp.maximum(val, 1e-38)), NEG_INF
         ) + total_shift
