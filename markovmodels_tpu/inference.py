@@ -92,6 +92,8 @@ def _round_up(x, m):
         "pdf_onehot",
         "block_fwd",
         "block_bwd",
+        "omega_prob",
+        "orig_state",
     ],
     meta_fields=[
         "num_states",
@@ -102,6 +104,7 @@ def _round_up(x, m):
         "domain",
         "block_fwd_offsets",
         "block_bwd_offsets",
+        "pdf_group",
     ],
 )
 @dataclasses.dataclass
@@ -143,17 +146,30 @@ class CompiledFSM:
     # optional blocked gather-matmul-scatter operators (ops/blocked.py)
     block_fwd: Optional[object]
     block_bwd: Optional[object]
+    # rank-1 split of the extended final column (block strategy): (Sp,)
+    # probabilities exp(T̂[:, fin]) with omega_prob[fin] = 1.  The block
+    # operators then cover only the S×S core — the reference's ω is the
+    # extended matrix's last column (src/fsm.jl:19-28); handling it
+    # analytically keeps every block op scatter-free.
+    omega_prob: Optional[jnp.ndarray] = None
+    # (Sp,) int32 original state id per (possibly reordered) slot; -1 padding
+    orig_state: Optional[jnp.ndarray] = None
     # static metadata
-    num_states: int  # actual S+1 (incl. phony, excl. padding)
-    num_pdfs: int  # number of real pdfs P (phony pdf id = P)
-    strategy: str  # 'dense' | 'ell' | 'segment'
-    batched: bool
+    num_states: int = 0  # actual S+1 (incl. phony, excl. padding)
+    num_pdfs: int = 0  # number of real pdfs P (phony pdf id = P)
+    strategy: str = "segment"  # 'dense' | 'ell' | 'segment' | 'block'
+    batched: bool = False
     precision: str = "high"  # dense-matmul precision: 'bf16' | 'high' | 'f32'
     # dense-scan value domain: 'prob' (rescaled probabilities, fastest) or
     # 'log' (logsumexp per frame, marginally tighter at precision='f32')
     domain: str = "prob"
     block_fwd_offsets: tuple = ()
     block_bwd_offsets: tuple = ()
+    # pdf-grouped uniform state layout: (cmax, lim) when every pdf p owns
+    # slot range [p*cmax, (p+1)*cmax) and lim = (P+1)*cmax; emission
+    # expansion is then a broadcast and the pdf-posterior reduction a
+    # reshape-sum (no state→pdf gather/one-hot matmul on the hot path)
+    pdf_group: tuple = ()
 
     @property
     def padded_states(self) -> int:
@@ -181,6 +197,7 @@ def compile_fsm(
     dtype=jnp.float32,
     precision: str = "high",
     domain: str = "prob",
+    reorder: str = "auto",
 ) -> CompiledFSM:
     """Lower a host FSM to the device representation.
 
@@ -189,6 +206,14 @@ def compile_fsm(
     state must map to ``num_pdfs`` (the phony pdf row of the reference's
     expanded likelihoods, src/inference.jl:54-60).  A binary ``hostsparse``
     Ĉ matrix is also accepted.
+
+    ``reorder``: 'pdf' renumbers states into a uniform pdf-grouped layout
+    (pdf p owns slots [p*cmax, (p+1)*cmax)); 'auto' does so for the 'block'
+    strategy when the padding inflation is acceptable; 'none' keeps the host
+    order.  Reordering changes only the internal state numbering — pdf
+    posteriors/logZ are unaffected; state-indexed outputs (Viterbi paths,
+    alpha/beta messages) are reported in the compiled numbering, with
+    ``orig_state`` mapping slots back to host state ids.
     """
     if isinstance(state_pdf, hs.SpMat):
         state_pdf = statemap_to_indices(state_pdf)
@@ -199,7 +224,7 @@ def compile_fsm(
 
     rows, cols, data = hs.findnz(fsm.T_hat)
     E = len(rows)
-    max_indeg = int(np.bincount(cols, minlength=S1).max()) if E else 0
+    alpha_in = np.asarray(fsm.alpha_hat, dtype=np.float64)
 
     if strategy == "auto":
         # dense MXU operator while the S^2 matrix is cheap; blocked
@@ -207,13 +232,57 @@ def compile_fsm(
         # remain for low-degree graphs and exact log-domain needs.
         strategy = "dense" if S1 <= 4096 else "block"
 
-    Sp = _round_up(S1, 128 if strategy in ("dense", "block") else 8)
+    # --- optional uniform pdf-grouped relabeling --------------------------
+    pdf_group = ()
+    orig = None
+    if reorder not in ("auto", "pdf", "none"):
+        raise ValueError(f"unknown reorder mode {reorder!r}")
+    if reorder != "none" and strategy == "block":
+        P1 = num_pdfs + 1
+        counts = np.bincount(state_pdf[: S1 - 1], minlength=P1)
+        cmax = max(int(counts.max()), 1)
+        lim = P1 * cmax
+        inflation_ok = lim + 1 <= max(
+            int(1.5 * _round_up(S1, 128)), _round_up(S1, 128) + 128
+        )
+        if reorder == "pdf" or inflation_ok:
+            order = np.argsort(state_pdf[: S1 - 1], kind="stable")
+            grp = state_pdf[: S1 - 1][order].astype(np.int64)
+            pos = np.arange(S1 - 1) - np.searchsorted(grp, grp)
+            perm = np.empty(S1, dtype=np.int64)
+            perm[order] = grp * cmax + pos
+            perm[S1 - 1] = num_pdfs * cmax  # phony leads its own group
+            rows, cols = perm[rows], perm[cols]
+            alpha_full = np.full(lim, -np.inf)
+            alpha_full[perm] = alpha_in
+            alpha_in = alpha_full
+            spdf_full = np.repeat(
+                np.arange(P1, dtype=np.int32), cmax
+            )
+            state_pdf = spdf_full
+            orig = np.full(lim, -1, dtype=np.int32)
+            orig[perm] = np.arange(S1, dtype=np.int32)
+            final_idx = num_pdfs * cmax
+            S_eff = lim
+            pdf_group = (cmax, lim)
+    if not pdf_group:
+        final_idx = S1 - 1
+        S_eff = S1
+
+    Sp = _round_up(S_eff, 128 if strategy in ("dense", "block") else 8)
     Ep = max(_round_up(E, 8), 8)
 
     alpha_hat = np.full(Sp, -np.inf, dtype=np.float64)
-    alpha_hat[:S1] = fsm.alpha_hat
+    alpha_hat[:S_eff] = alpha_in
     spdf = np.full(Sp, num_pdfs, dtype=np.int32)
-    spdf[:S1] = state_pdf
+    spdf[:S_eff] = state_pdf
+    if orig is None:
+        orig = np.full(Sp, -1, dtype=np.int32)
+        orig[:S1] = np.arange(S1, dtype=np.int32)
+    else:
+        orig = np.concatenate(
+            [orig, np.full(Sp - S_eff, -1, dtype=np.int32)]
+        )
 
     def edge_arrays(gather, seg, w):
         order = np.lexsort((gather, seg))
@@ -240,12 +309,17 @@ def compile_fsm(
         pdf_onehot=None,
         block_fwd=None,
         block_bwd=None,
+        omega_prob=None,
     )
-    meta = dict(block_fwd_offsets=(), block_bwd_offsets=())
+    meta = dict(
+        block_fwd_offsets=(), block_bwd_offsets=(), pdf_group=pdf_group
+    )
 
     # one-hot Ĉᵀ: lets the per-frame pdf-posterior reduction run as a small
-    # MXU matmul instead of segment scatters (worth ~1MB for typical P·S)
-    if Sp * (num_pdfs + 1) <= 64 * 1024 * 1024:
+    # MXU matmul instead of segment scatters (worth ~1MB for typical P·S).
+    # With a uniform pdf-grouped layout the reduction is a reshape-sum and
+    # the one-hot is never touched on the hot path.
+    if not pdf_group and Sp * (num_pdfs + 1) <= 64 * 1024 * 1024:
         oh = np.zeros((num_pdfs + 1, Sp), dtype=np.float32)
         oh[spdf, np.arange(Sp)] = 1.0
         kw["pdf_onehot"] = jnp.asarray(oh)
@@ -253,10 +327,20 @@ def compile_fsm(
     if strategy == "block":
         from .ops.blocked import build_block_operator
 
-        op, offs = build_block_operator(rows, cols, data, Sp)
+        # rank-1 split: arcs into the phony final state (the ω column of the
+        # extended matrix, reference src/fsm.jl:19-28) are handled
+        # analytically — y_fwd[fin] = ω·x, y_bwd += ω * x[fin] — so the
+        # block operators stay scatter-free on the S×S core.
+        to_fin = cols == final_idx
+        om = np.zeros(Sp, dtype=np.float64)
+        np.add.at(om, rows[to_fin], np.exp(data[to_fin]))
+        kw["omega_prob"] = jnp.asarray(om, dtype=dtype)
+        crows, ccols, cdata = rows[~to_fin], cols[~to_fin], data[~to_fin]
+
+        op, offs = build_block_operator(crows, ccols, cdata, Sp)
         kw["block_fwd"] = op
         meta["block_fwd_offsets"] = offs
-        op, offs = build_block_operator(cols, rows, data, Sp)
+        op, offs = build_block_operator(ccols, crows, cdata, Sp)
         kw["block_bwd"] = op
         meta["block_bwd_offsets"] = offs
 
@@ -292,8 +376,9 @@ def compile_fsm(
 
     return CompiledFSM(
         alpha_hat=jnp.asarray(alpha_hat, dtype=dtype),
-        final_state=jnp.asarray(S1 - 1, dtype=jnp.int32),
+        final_state=jnp.asarray(final_idx, dtype=jnp.int32),
         state_pdf=jnp.asarray(spdf),
+        orig_state=jnp.asarray(orig),
         fwd_src=jnp.asarray(fwd_src),
         fwd_dst=jnp.asarray(fwd_dst),
         fwd_w=jnp.asarray(fwd_w, dtype=dtype),
@@ -369,6 +454,8 @@ def stack(cfsms) -> CompiledFSM:
         ),
         block_fwd=None,
         block_bwd=None,
+        omega_prob=None,
+        orig_state=fstack("orig_state", Sp, -1),
     )
     if strategy == "ell":
         kw["ell_fwd_src"] = jnp.stack(
@@ -604,6 +691,7 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
 
     is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
     onehot = cf.pdf_onehot  # (P+1, Sp) or None
+    P1 = cf.num_pdfs + 1
 
     def eprob(lhs_t, t):
         """Per-frame emission probabilities (Sp, B) plus the log-shift that
@@ -611,57 +699,82 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
         active = t < lengths  # (B,)
         m_l = jnp.max(lhs_t, axis=1)  # (B,)
         el = jnp.exp(lhs_t - m_l[:, None])  # (B, P) in (0, 1]
-        ext = jnp.concatenate(
-            [el.T, jnp.zeros((1, B), lhs_t.dtype)], axis=0
-        )  # (P+1, B)
-        x = ext[cf.state_pdf, :]
-        x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
+        ph = jnp.where(active, 0.0, 1.0)[None, :]  # phony-pdf row
+        ext = jnp.concatenate([el.T * active[None, :], ph], axis=0)  # (P1, B)
+        if cf.pdf_group:
+            # uniform layout: pdf p owns slots [p*cmax, (p+1)*cmax) — the
+            # state→pdf gather is a broadcast + reshape
+            cmax, lim = cf.pdf_group
+            x = jnp.broadcast_to(ext[:, None, :], (P1, cmax, B)).reshape(
+                lim, B
+            )
+            x = jnp.pad(x, ((0, Sp - lim), (0, 0)))
+        else:
+            x = ext[cf.state_pdf, :]
+            x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
         return x, jnp.where(active, m_l, 0.0)
+
+    def pdf_reduce(gamma):
+        """Σ_states-of-pdf gamma -> (P1, B) plus the per-frame total."""
+        if cf.pdf_group:
+            cmax, lim = cf.pdf_group
+            s = jnp.sum(gamma[:lim].reshape(P1, cmax, B), axis=1)
+            tot = jnp.sum(s, axis=0)
+        elif onehot is not None:
+            s = jnp.dot(
+                onehot, gamma, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            tot = jnp.sum(gamma, axis=0)
+        else:
+            s = jnp.zeros((P1, B), gamma.dtype)
+            s = s.at[cf.state_pdf].add(gamma)
+            tot = jnp.sum(gamma, axis=0)
+        return s, tot
 
     a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
         lhs.dtype
     )
     shift0 = jnp.zeros(B, lhs.dtype)
     comp0 = jnp.zeros(B, lhs.dtype)
+    k0 = jnp.zeros(B, lhs.dtype)
 
     def fstep(carry, inp):
-        a, shift, comp = carry
+        a, ksum, shift, comp = carry
         lhs_t, t = inp
         p = jnp.where(t == 0, a, fwd_pmv(a))
         e, m_l = eprob(lhs_t, t)
         y = p * e
         m = jnp.max(y, axis=0)  # (B,)
-        ms = jnp.where(m > 0, m, 1.0)
-        y = y / ms[None, :]
-        shift, comp = _kahan_add(
-            shift, comp, jnp.where(m > 0, jnp.log(ms), 0.0) + m_l
-        )
-        return (y, shift, comp), None
+        # exact power-of-two rescale: the division is round-off free and the
+        # shift is an exactly-accumulated integer exponent (the emission
+        # max m_l still goes through the Kahan-compensated real shift)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        y = y * jnp.exp2(-k)[None, :]
+        ksum = ksum + k
+        shift, comp = _kahan_add(shift, comp, m_l)
+        return (y, ksum, shift, comp), None
 
     def fstep_save(carry, inp):
         new_carry, _ = fstep(carry, inp)
         return new_carry, new_carry[0]
 
-    def final_val(a, shift):
+    def final_val(a, ksum, shift):
         v = jnp.take(a, cf.final_state, axis=0)
-        return jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF) + shift
+        return _combine_shift(
+            jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF),
+            ksum,
+            shift,
+        )
 
     def bstep(c, i):
         bb = c
         a_t, lhs_t, t = i
         y = jnp.where(t == Npad - 1, jnp.ones_like(bb), bwd_pmv(bb))
         m = jnp.max(y, axis=0)
-        y = y / jnp.where(m > 0, m, 1.0)[None, :]
+        y = y * jnp.exp2(-jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0))[None, :]
         gamma = a_t * y  # (Sp, B) probs, arbitrary per-frame scale
-        if onehot is not None:
-            s = jnp.dot(
-                onehot, gamma, preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-        else:
-            s = jnp.zeros((cf.num_pdfs + 1, B), gamma.dtype)
-            s = s.at[cf.state_pdf].add(gamma)
-        tot = jnp.sum(gamma, axis=0)
+        s, tot = pdf_reduce(gamma)
         posts_t = s / jnp.where(tot > 0, tot, 1.0)[None, :]
         e, _ = eprob(lhs_t, t)
         return y * e, posts_t
@@ -669,8 +782,10 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
     binit = jnp.ones((Sp, B), lhs.dtype)
 
     if C == 1:
-        (aF, shiftF, _), A = lax.scan(fstep_save, (a0, shift0, comp0), (lhs_tm, ts))
-        logZ = final_val(aF, shiftF)
+        (aF, kF, shiftF, _), A = lax.scan(
+            fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts)
+        )
+        logZ = final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
         _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
@@ -680,10 +795,10 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
             new_carry, _ = lax.scan(fstep, carry, inp)
             return new_carry, boundary
 
-        (aF, shiftF, _), boundaries = lax.scan(
-            chunk_fwd, (a0, shift0, comp0), (lhs_cm, ts_cm)
+        (aF, kF, shiftF, _), boundaries = lax.scan(
+            chunk_fwd, (a0, k0, shift0, comp0), (lhs_cm, ts_cm)
         )
-        logZ = final_val(aF, shiftF)
+        logZ = final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
 
@@ -695,7 +810,7 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
         _, posts = lax.scan(
             chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
         )
-    posts = posts.reshape(Npad, cf.num_pdfs + 1, B)
+    posts = posts.reshape(Npad, P1, B)
     posts = jnp.moveaxis(posts, 2, 0)[:, :N, : cf.num_pdfs]
     return posts, logZ
 
@@ -731,10 +846,23 @@ def _make_prob_matvecs(cf: CompiledFSM):
     if cf.strategy == "block":
         from .ops.blocked import block_matvec
 
-        return (
-            lambda a: block_matvec(cf.block_fwd, cf.block_fwd_offsets, a, prec),
-            lambda a: block_matvec(cf.block_bwd, cf.block_bwd_offsets, a, prec),
-        )
+        def fwd(a):
+            y = block_matvec(cf.block_fwd, cf.block_fwd_offsets, a, prec)
+            if cf.omega_prob is not None:
+                # rank-1 ω handling: y[fin] = ω·a (ω[fin] = 1 covers the
+                # phony self-loop); the core operator never writes row fin
+                yfin = jnp.einsum("s,sb->b", cf.omega_prob, a)
+                y = y.at[cf.final_state].set(yfin)
+            return y
+
+        def bwd(a):
+            y = block_matvec(cf.block_bwd, cf.block_bwd_offsets, a, prec)
+            if cf.omega_prob is not None:
+                afin = jnp.take(a, cf.final_state, axis=0)  # (B,)
+                y = y + cf.omega_prob[:, None] * afin[None, :]
+            return y
+
+        return fwd, bwd
     raise ValueError(f"no prob-domain matvec for strategy {cf.strategy!r}")
 
 
@@ -806,6 +934,20 @@ def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
         )
     kern = _make_kernels(cf, lengths)
     return _fb_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
+
+
+# Cody-Waite split of ln 2: LN2_HI has only 9 mantissa bits, so k·LN2_HI is
+# exact in f32 for integer |k| < 2^15 (the accumulated power-of-two exponent
+# over any realistic sequence); the residual k·LN2_LO is O(|k|·2e-4) and
+# carries the remaining precision.
+_LN2_HI = np.float32(0.693359375)
+_LN2_LO = np.float32(np.log(2.0) - 0.693359375)
+
+
+def _combine_shift(logv, ksum, shift):
+    """logZ = logv + ksum·ln2 + shift with the ksum·ln2 product split so the
+    dominant term is exact (ksum is an exactly-accumulated f32 integer)."""
+    return ((logv + ksum * _LN2_LO) + shift) + ksum * _LN2_HI
 
 
 def _kahan_add(s, c, x):

@@ -53,42 +53,69 @@ def _affine_params(idx: np.ndarray):
     return (base, dk, dm) if np.array_equal(idx, expect) else None
 
 
+def _window(base, rows, stride, width, limit):
+    """Fit the strided view x[base' : base' + rows*stride].reshape(rows,
+    stride)[:, col0:col0+width] inside [0, limit): returns (base', col0) or
+    None.  col0 shifts the window left when the naive view would overrun."""
+    col0 = max(0, base + rows * stride - limit)
+    base2 = base - col0
+    if base2 >= 0 and col0 + width <= stride and base2 + rows * stride <= limit:
+        return base2, col0
+    return None
+
+
 def _gather_desc(idx: np.ndarray, limit: int):
     """Classify a (K, Sm) gather index pattern.
 
     Affine patterns are emitted as slice+reshape(+transpose), which TPUs run
     at full HBM bandwidth — a random row gather is ~45x slower (measured on
     v5e).  Returns one of:
-      ('affine_k_major', base, dk)  view (K, dk)[:, :Sm]       [dk >= Sm]
-      ('affine_s_major', base, ds)  view (Sm, ds)[:, :K] swap  [ds >= K]
+      ('affine_k_major', base, dk, col0)  view (K, dk)[:, col0:col0+Sm]
+      ('affine_s_major', base, ds, col0)  view (Sm, ds)[:, col0:col0+K] swap
       ('gather',)
     """
     p = _affine_params(idx)
     if p is not None:
         base, dk, dm = p
         K, Sm = idx.shape
-        if dm == 1 and dk >= Sm and 0 <= base and base + K * dk <= limit:
-            return ("affine_k_major", base, dk)
-        if dk == 1 and dm >= K and 0 <= base and base + Sm * dm <= limit:
-            return ("affine_s_major", base, dm)
+        if dm == 1 and dk >= Sm and base >= 0:
+            w = _window(base, K, dk, Sm, limit)
+            if w is not None:
+                return ("affine_k_major", w[0], dk, w[1])
+        if dk == 1 and dm >= K and base >= 0:
+            w = _window(base, Sm, dm, K, limit)
+            if w is not None:
+                return ("affine_s_major", w[0], dm, w[1])
     return ("gather",)
 
 
 def _scatter_desc(idx: np.ndarray, limit: int):
     """Classify a (K, D) scatter index pattern.
 
-      ('contig', base)          idx = base + k*D + d  -> one contiguous write
-      ('affine_d', base)        idx = base + k + d*K  -> transposed contiguous
+      ('contig', base)                  idx = base + k*D + d -> contig write
+      ('affine_d', base)                idx = base + k + d*K -> transp contig
+      ('affine_k_pad', base, dk, col0)  idx affine w/ dk > D -> strided
+                                        row-chunks: view (K, dk)[:, col0:+D]
+      ('affine_d_pad', base, dd, col0)  idx affine w/ dd > K -> transposed
+                                        strided row-chunks: view (D, dd)[:, col0:+K]
       ('scatter',)
     """
     p = _affine_params(idx)
     if p is not None:
         base, dk, dd = p
         K, D = idx.shape
-        if dk == D and dd == 1 and base + K * D <= limit:
+        if dk == D and dd == 1 and 0 <= base and base + K * D <= limit:
             return ("contig", base)
-        if dk == 1 and dd == K and base + D * K <= limit:
+        if dk == 1 and dd == K and 0 <= base and base + D * K <= limit:
             return ("affine_d", base)
+        if dd == 1 and dk > D and base >= 0:
+            w = _window(base, K, dk, D, limit)
+            if w is not None:
+                return ("affine_k_pad", w[0], dk, w[1])
+        if dk == 1 and dd > K and base >= 0:
+            w = _window(base, D, dd, K, limit)
+            if w is not None:
+                return ("affine_d_pad", w[0], dd, w[1])
     return ("scatter",)
 
 
@@ -244,13 +271,13 @@ def block_matvec(op: BlockOperator, meta, x, precision):
         K, Sm = sidx.shape
         D = didx.shape[1]
         if gdesc[0] == "affine_s_major":
-            _, base, ds = gdesc
+            _, base, ds, c0 = gdesc
             view = jax.lax.slice(x, (base, 0), (base + Sm * ds, B))
-            Xg = view.reshape(Sm, ds, B)[:, :K].swapaxes(0, 1)
+            Xg = view.reshape(Sm, ds, B)[:, c0 : c0 + K].swapaxes(0, 1)
         elif gdesc[0] == "affine_k_major":
-            _, base, dk = gdesc
+            _, base, dk, c0 = gdesc
             view = jax.lax.slice(x, (base, 0), (base + K * dk, B))
-            Xg = view.reshape(K, dk, B)[:, :Sm]
+            Xg = view.reshape(K, dk, B)[:, c0 : c0 + Sm]
         else:
             Xg = x[sidx.reshape(-1)].reshape(K, Sm, B)
         Y = jnp.einsum(
@@ -266,6 +293,21 @@ def block_matvec(op: BlockOperator, meta, x, precision):
         elif ddesc[0] == "affine_d":
             base = ddesc[1]
             flat = Y.swapaxes(0, 1).reshape(-1, B)
+        elif ddesc[0] in ("affine_k_pad", "affine_d_pad"):
+            # strided row-chunks: update a column window of a
+            # (rows, stride, B) view of y — XLA lowers slice/update-slice,
+            # not scatter
+            _, base, stride, c0 = ddesc
+            if ddesc[0] == "affine_k_pad":
+                rows, width, Yv = K, D, Y
+            else:
+                rows, width, Yv = D, K, Y.swapaxes(0, 1)
+            seg = jax.lax.slice(y, (base, 0), (base + rows * stride, B))
+            seg = seg.reshape(rows, stride, B).at[:, c0 : c0 + width].add(Yv)
+            y = jax.lax.dynamic_update_slice(
+                y, seg.reshape(rows * stride, B), (base, 0)
+            )
+            continue
         else:
             y = y.at[didx.reshape(-1)].add(Y.reshape(-1, B))
             continue

@@ -152,6 +152,7 @@ def _meta_of(cf) -> dict:
         domain=cf.domain,
         block_fwd_offsets=cf.block_fwd_offsets,
         block_bwd_offsets=cf.block_bwd_offsets,
+        pdf_group=cf.pdf_group,
         leaf_paths=paths,
     )
 
@@ -226,6 +227,8 @@ def load_compiled(path: str):
         pdf_onehot=fld("pdf_onehot"),
         block_fwd=block_op("block_fwd", meta["block_fwd_offsets"]),
         block_bwd=block_op("block_bwd", meta["block_bwd_offsets"]),
+        omega_prob=fld("omega_prob"),
+        orig_state=fld("orig_state"),
         num_states=meta["num_states"],
         num_pdfs=meta["num_pdfs"],
         strategy=meta["strategy"],
@@ -234,6 +237,7 @@ def load_compiled(path: str):
         domain=meta["domain"],
         block_fwd_offsets=meta["block_fwd_offsets"],
         block_bwd_offsets=meta["block_bwd_offsets"],
+        pdf_group=_detuple(meta.get("pdf_group", ())),
     )
     treedef = jax.tree.structure(skeleton)
     if treedef.num_leaves != n:

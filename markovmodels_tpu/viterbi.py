@@ -73,6 +73,10 @@ def _viterbi_single(cf: CompiledFSM, lhs, lengths):
     _, states = lax.scan(btrace, s_last, bps[1:], reverse=True)
     # states[t] = argmax state at frame t for t = 0..Nf-2; frame Nf-1 is phony.
     states = jnp.moveaxis(states, 1, 0)  # (B, Nf-1) == (B, N)
+    if cf.orig_state is not None:
+        # report host state ids when the graph was compiled with a
+        # reordered internal layout (inference.compile_fsm reorder='pdf')
+        states = jnp.take(cf.orig_state, states, axis=0)
     return states, score
 
 
