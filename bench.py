@@ -39,36 +39,137 @@ def load_wsj_fst(path):
     return load_openfst_lfmmi(path, num_pdfs=84)
 
 
-def host_oracle_logZ(fsm, spdf, num_pdfs, lhs, lengths):
-    """Exact float64 forward pass (scipy sparse, prob domain with per-frame
-    rescaling) — independent of the device code path."""
+def host_oracle(fsm, spdf, num_pdfs, lhs, lengths):
+    """Exact float64 forward-backward (scipy sparse, prob domain with
+    per-frame rescaling) — independent of the device code path.  Returns
+    (logZ (B,), posteriors (B, N, P))."""
     import scipy.sparse as sp
     from markovmodels_tpu import hostsparse as hs
 
     rows, cols, data = hs.findnz(fsm.T_hat)
     S1 = len(fsm.alpha_hat)
-    Tt = sp.csr_matrix(
-        (np.exp(np.asarray(data, dtype=np.float64)), (cols, rows)), shape=(S1, S1)
-    )
+    w = np.exp(np.asarray(data, dtype=np.float64))
+    Tt = sp.csr_matrix((w, (cols, rows)), shape=(S1, S1))
+    Tm = sp.csr_matrix((w, (rows, cols)), shape=(S1, S1))
     a0 = np.exp(np.asarray(fsm.alpha_hat, dtype=np.float64))
+    B, N, P = lhs.shape
     logZ = []
-    for b in range(lhs.shape[0]):
+    posts = np.zeros((B, N, P))
+    for b in range(B):
         L = int(lengths[b])
-        v, shift = a0.copy(), 0.0
-        for t in range(L + 1):
+
+        def emis(t):
             e = np.zeros(S1)
             if t < L:
                 e[: S1 - 1] = np.exp(lhs[b, t])[spdf[: S1 - 1]]
             else:
                 e[S1 - 1] = 1.0
-            v = (v if t == 0 else Tt @ v) * e
+            return e
+
+        A = np.zeros((L + 1, S1))
+        v, shift = a0.copy(), 0.0
+        for t in range(L + 1):
+            v = (v if t == 0 else Tt @ v) * emis(t)
             m = v.max()
             if m > 0:
                 v /= m
                 shift += np.log(m)
+            A[t] = v
         val = v[S1 - 1]
         logZ.append(np.log(val) + shift if val > 0 else -np.inf)
-    return np.array(logZ)
+        bb = np.zeros(S1)
+        bb[S1 - 1] = 1.0
+        for t in range(L, -1, -1):
+            y = bb if t == L else Tm @ bb
+            m = y.max()
+            if m > 0:
+                y = y / m
+            g = A[t] * y
+            if t < L:
+                gp = np.zeros(num_pdfs + 1)
+                np.add.at(gp, spdf[: S1 - 1], g[: S1 - 1])
+                gp[num_pdfs] += g[S1 - 1]
+                tot = gp.sum()
+                posts[b, t] = gp[:num_pdfs] / (tot if tot > 0 else 1.0)
+            bb = y * emis(t)
+    return np.array(logZ), posts
+
+
+def host_oracle_logZ(fsm, spdf, num_pdfs, lhs, lengths):
+    return host_oracle(fsm, spdf, num_pdfs, lhs, lengths)[0]
+
+
+def host_viterbi_score(fsm, spdf, num_pdfs, lhs, lengths):
+    """Exact float64 max-plus forward (best-path scores only)."""
+    from markovmodels_tpu import hostsparse as hs
+
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    data = np.asarray(data, dtype=np.float64)
+    S1 = len(fsm.alpha_hat)
+    a0 = np.asarray(fsm.alpha_hat, dtype=np.float64)
+    scores = []
+    for b in range(lhs.shape[0]):
+        L = int(lengths[b])
+        v = a0.copy()
+        for t in range(L + 1):
+            if t > 0:
+                y = np.full(S1, -np.inf)
+                np.maximum.at(y, cols, data + v[rows])
+                v = y
+            e = np.full(S1, -np.inf)
+            if t < L:
+                e[: S1 - 1] = lhs[b, t][spdf[: S1 - 1]]
+            else:
+                e[S1 - 1] = 0.0
+            v = v + e
+        scores.append(v[S1 - 1])
+    return np.array(scores)
+
+
+def _viterbi_gate(vit, jax, jnp, fsm, spdf, P, cf, n=40, tol=1e-3):
+    """Viterbi exactness gate: the decoded path's exact f64 weight must equal
+    the f64 max-plus optimum (BASELINE: 'Viterbi paths exact'), and the
+    device score must match to f32 accumulation tolerance."""
+    import scipy.sparse as sp
+    from markovmodels_tpu import hostsparse as hs
+
+    rng = np.random.default_rng(11)
+    lhs = rng.normal(size=(2, n, P)).astype(np.float32)
+    lens = np.array([n, max(2, 2 * n // 3)], dtype=np.int32)
+    ref = host_viterbi_score(fsm, spdf, P, lhs.astype(np.float64), lens)
+    states, score = vit.viterbi(cf, jnp.asarray(lhs), jnp.asarray(lens))
+    states, score = np.asarray(states), np.asarray(score)
+    serr = float(np.max(np.abs(score - ref)))
+    assert serr < tol, f"viterbi score parity failed: {serr}"
+    # exact f64 weight of the returned path
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    S1 = len(fsm.alpha_hat)
+    T = sp.csr_matrix(
+        (np.asarray(data, dtype=np.float64), (rows, cols)), shape=(S1, S1)
+    )
+    T.sort_indices()
+
+    def arc_w(i, j):
+        """Arc weight or -inf if the arc does not exist (catches invalid
+        decoded paths — scipy's scalar indexing would silently return 0)."""
+        lo, hi = T.indptr[i], T.indptr[i + 1]
+        k = lo + np.searchsorted(T.indices[lo:hi], j)
+        return T.data[k] if k < hi and T.indices[k] == j else -np.inf
+
+    a0 = np.asarray(fsm.alpha_hat, dtype=np.float64)
+    gap = 0.0
+    for b in range(2):
+        L = int(lens[b])
+        path = states[b, :L]
+        w = a0[path[0]] + float(
+            lhs[b, np.arange(L), spdf[path]].astype(np.float64).sum()
+        )
+        for t in range(L - 1):
+            w += arc_w(path[t], path[t + 1])
+        w += arc_w(path[L - 1], S1 - 1)  # ω arc into the phony final state
+        gap = max(gap, abs(ref[b] - w))
+    assert gap < 1e-4, f"viterbi path not optimal: gap {gap}"
+    return serr, gap
 
 
 def _time_posteriors(inf, jax, cf, lhs, lengths, reps=3):
@@ -82,15 +183,19 @@ def _time_posteriors(inf, jax, cf, lhs, lengths, reps=3):
     return min(ts)
 
 
-def _parity(inf, jax, jnp, fsm, spdf, P, cf, n=40, tol=2e-3):
+def _parity(inf, jax, jnp, fsm, spdf, P, cf, n=40, tol=2e-4, ptol=2e-4):
+    """Gate logZ AND posteriors (the actual timed output) against the exact
+    f64 host oracle."""
     rng = np.random.default_rng(7)
     lhs = rng.normal(size=(2, n, P)).astype(np.float32)
     lens = np.array([n, max(2, 2 * n // 3)], dtype=np.int32)
-    ref = host_oracle_logZ(fsm, spdf, P, lhs.astype(np.float64), lens)
-    got = np.asarray(inf.forward(cf, jnp.asarray(lhs), jnp.asarray(lens)))
-    err = float(np.max(np.abs(got - ref)))
-    assert err < tol, f"parity check failed: {err}"
-    return err
+    ref_z, ref_p = host_oracle(fsm, spdf, P, lhs.astype(np.float64), lens)
+    got_p, got_z = inf.pdfposteriors(cf, jnp.asarray(lhs), jnp.asarray(lens))
+    err = float(np.max(np.abs(np.asarray(got_z) - ref_z)))
+    perr = float(np.max(np.abs(np.asarray(got_p) - ref_p)))
+    assert err < tol, f"logZ parity check failed: {err}"
+    assert perr < ptol, f"posterior parity check failed: {perr}"
+    return err, perr
 
 
 def main():
@@ -118,13 +223,38 @@ def main():
     fsm, spdf, P, info = make_lm_hmm_graph(V=128)
     print(f"# 2m graph: {info}", file=sys.stderr)
     cf = inf.compile_fsm(fsm, spdf, P, strategy="block", precision="high")
-    err = _parity(inf, jax, jnp, fsm, spdf, P, cf)
-    print(f"# 2m parity |logZ - f64 oracle| = {err:.3e}", file=sys.stderr)
+    # BASELINE.md target: log-marginals allclose atol 1e-4 on the 2M-arc
+    # workload (measured ≈5e-5; see README error budget)
+    err, perr = _parity(inf, jax, jnp, fsm, spdf, P, cf, tol=1e-4, ptol=1e-4)
+    print(
+        f"# 2m parity vs f64 oracle: |dlogZ| = {err:.3e}, "
+        f"|dposts| = {perr:.3e}",
+        file=sys.stderr,
+    )
     lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
     lengths = jnp.full((B,), N, dtype=jnp.int32)
     t_2m = _time_posteriors(inf, jax, cf, lhs, lengths)
     v_2m = audio_s / t_2m
     print(f"# 2m fwd-bwd: {t_2m:.4f} s -> {v_2m:.0f} audio-s/s", file=sys.stderr)
+
+    # 2M-arc Viterbi: exactness gate + wall time (BASELINE: paths exact)
+    from markovmodels_tpu import viterbi as vit
+
+    serr, gap = _viterbi_gate(vit, jax, jnp, fsm, spdf, P, cf)
+    print(
+        f"# 2m viterbi gate: |dscore| = {serr:.3e}, path-weight gap = "
+        f"{gap:.3e}",
+        file=sys.stderr,
+    )
+    vrun = jax.jit(lambda l, n: vit.viterbi(cf, l, n))
+    jax.block_until_ready(vrun(lhs, lengths))
+    t0 = time.perf_counter()
+    jax.block_until_ready(vrun(lhs, lengths))
+    t_vit = time.perf_counter() - t0
+    print(
+        f"# 2m viterbi: {t_vit:.4f} s -> {audio_s / t_vit:.0f} audio-s/s",
+        file=sys.stderr,
+    )
     del cf, lhs
 
     # Headline JSON first: the WSJ comparison below is informational and must
@@ -148,9 +278,16 @@ def main():
     v_wsj = None
     if os.path.exists(WSJ_FST):
         fsm, spdf, P = load_wsj_fst(WSJ_FST)
+        # WSJ f32 floor is ≈1.1e-4 on logZ (per-frame f32 summation over the
+        # denser WSJ rows accumulates ~2.5e-6/frame; posteriors stay ~1e-6
+        # because normalization cancels the common drift) — gate at 2e-4.
         cf = inf.compile_fsm(fsm, spdf, P, strategy="dense", precision="high")
-        err = _parity(inf, jax, jnp, fsm, spdf, P, cf)
-        print(f"# wsj parity |logZ - f64 oracle| = {err:.3e}", file=sys.stderr)
+        err, perr = _parity(inf, jax, jnp, fsm, spdf, P, cf, tol=2e-4, ptol=1e-4)
+        print(
+            f"# wsj parity vs f64 oracle: |dlogZ| = {err:.3e}, "
+            f"|dposts| = {perr:.3e}",
+            file=sys.stderr,
+        )
         lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
         t_wsj = _time_posteriors(inf, jax, cf, lhs, lengths)
         v_wsj = audio_s / t_wsj

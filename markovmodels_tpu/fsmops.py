@@ -162,23 +162,33 @@ def compose(fsm1: FSM, fsms, sep=None) -> FSM:
         data.append(d)
 
     # bridge block Ω·T₁·Aᵀ: each arc (p→q, w) of fsm1 expands to arcs from
-    # final states of sub-FSM p to initial states of sub-FSM q.
+    # final states of sub-FSM p to initial states of sub-FSM q.  Fully
+    # vectorized (one np pass over all bridge arcs): for a pipeline-scale
+    # LM ∘ HMM composition the bridge dominates the arc count, and a
+    # per-arc Python loop here would dwarf every other compile cost.
     r1, c1, d1 = hs.findnz(fsm1.T)
-    sub_alpha = [f.alpha for f in fsms]
-    sub_omega = [f.omega for f in fsms]
-    sub_anz = [np.flatnonzero(~sr.is_zero(a)) for a in sub_alpha]
-    sub_wnz = [np.flatnonzero(~sr.is_zero(w)) for w in sub_omega]
-    for p, q, w in zip(r1, c1, d1):
-        fi = sub_wnz[p]
-        ij = sub_anz[q]
-        if len(fi) == 0 or len(ij) == 0:
-            continue
-        br = np.repeat(fi, len(ij))
-        bc = np.tile(ij, len(fi))
-        bd = sr.mul(sr.mul(sub_omega[p][br], w), sub_alpha[q][bc])
-        rows.append(br + offs[p])
-        cols.append(bc + offs[q])
-        data.append(bd)
+    a_cat = np.concatenate([f.alpha for f in fsms])  # raw sub-α, offset layout
+    w_cat = np.concatenate([f.omega for f in fsms])
+    anz_g = np.flatnonzero(~sr.is_zero(a_cat))  # global nz positions
+    wnz_g = np.flatnonzero(~sr.is_zero(w_cat))
+    na = np.diff(np.searchsorted(anz_g, offs))  # nz α count per sub-FSM
+    nw = np.diff(np.searchsorted(wnz_g, offs))
+    a_start = np.searchsorted(anz_g, offs[:-1])
+    w_start = np.searchsorted(wnz_g, offs[:-1])
+    if len(r1):
+        counts = nw[r1] * na[c1]  # bridge arcs per fsm1 arc
+        total_b = int(counts.sum())
+        if total_b:
+            arc_id = np.repeat(np.arange(len(r1)), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            l = np.arange(total_b) - starts[arc_id]
+            na_e = na[c1][arc_id]
+            gr = wnz_g[w_start[r1][arc_id] + l // na_e]
+            gc = anz_g[a_start[c1][arc_id] + l % na_e]
+            bd = sr.mul(sr.mul(w_cat[gr], d1[arc_id]), a_cat[gc])
+            rows.append(gr)
+            cols.append(gc)
+            data.append(bd)
 
     T = hs.spmat_from_coo(
         np.concatenate(rows) if rows else [],
@@ -241,20 +251,25 @@ def determinize(fsm: FSM, match: Callable = None) -> FSM:
 
     state_key = [lab_key(l) for l in labels]
 
-    # adjacency: out-arcs grouped per src state
+    # adjacency: out-arcs grouped per src state (CSR rows are already
+    # src-sorted — slice views, no per-arc Python loop)
     rows, cols, data = hs.findnz(fsm.T)
-    out_arcs: list[list] = [[] for _ in range(S)]
-    for i, j, w in zip(rows, cols, data):
-        out_arcs[int(i)].append((int(j), w))
+    rp = fsm.T.indptr
+    out_arcs = [
+        list(zip(cols[rp[i] : rp[i + 1]].tolist(), data[rp[i] : rp[i + 1]]))
+        for i in range(S)
+    ]
 
     # initial sets: group value-nonzero initial states by label
     init_groups: dict = {}
     for i in np.flatnonzero(~sr.is_zero(alpha)):
         init_groups.setdefault(state_key[int(i)], []).append(int(i))
 
+    from collections import deque
+
     newstates: dict = {}  # set(tuple) -> [iw, fw]; insertion ordered
     newarcs: dict = {}  # set -> list[(destset, w)]
-    queue = []
+    queue: deque = deque()
     for _, members in init_groups.items():
         s = tuple(sorted(members))
         newstates[s] = [
@@ -264,7 +279,7 @@ def determinize(fsm: FSM, match: Callable = None) -> FSM:
         queue.append(s)
 
     while queue:
-        s = queue.pop(0)
+        s = queue.popleft()
         dest_sets: dict = {}
         dest_ws: dict = {}
         for u in s:

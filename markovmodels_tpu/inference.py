@@ -105,6 +105,7 @@ def _round_up(x, m):
         "block_fwd_offsets",
         "block_bwd_offsets",
         "pdf_group",
+        "multi_pdf",
     ],
 )
 @dataclasses.dataclass
@@ -170,6 +171,10 @@ class CompiledFSM:
     # expansion is then a broadcast and the pdf-posterior reduction a
     # reshape-sum (no state→pdf gather/one-hot matmul on the hot path)
     pdf_group: tuple = ()
+    # general Ĉ mode: states may emit several pdfs (Ĉ an arbitrary binary
+    # sparse matrix, reference src/inference.jl:7-8); emission expansion and
+    # posterior reduction both run through the binary pdf_onehot matmuls
+    multi_pdf: bool = False
 
     @property
     def padded_states(self) -> int:
@@ -178,12 +183,15 @@ class CompiledFSM:
 
 def statemap_to_indices(C: hs.SpMat) -> np.ndarray:
     """Convert a binary state→pdf matrix Ĉ (one nz per row, reference
-    examples/prepare-lfmmi-graphs.jl:15-23) to an int index vector."""
+    examples/prepare-lfmmi-graphs.jl:15-23) to an int index vector.
+
+    For Ĉ with several pdfs per state pass the matrix straight to
+    :func:`compile_fsm`, which compiles it in general-Ĉ mode."""
     counts = np.diff(C.indptr)
     if not (counts == 1).all():
         raise ValueError(
-            "general Ĉ with multiple pdfs per state is not supported; "
-            "each state must emit exactly one pdf"
+            "Ĉ has states with multiple pdfs — pass the matrix directly to "
+            "compile_fsm (general-Ĉ mode) instead of converting to indices"
         )
     return C.indices.astype(np.int32)
 
@@ -215,10 +223,28 @@ def compile_fsm(
     alpha/beta messages) are reported in the compiled numbering, with
     ``orig_state`` mapping slots back to host state ids.
     """
-    if isinstance(state_pdf, hs.SpMat):
-        state_pdf = statemap_to_indices(state_pdf)
-    state_pdf = np.asarray(state_pdf, dtype=np.int32)
     S1 = len(fsm.alpha_hat)
+    C_multi = None
+    if isinstance(state_pdf, hs.SpMat):
+        counts = np.diff(state_pdf.indptr)
+        if (counts <= 1).all():
+            state_pdf = statemap_to_indices(state_pdf)
+        else:
+            # general-Ĉ mode (reference src/inference.jl:7-8): emission
+            # expansion Ĉ·V̂ and the posterior reduction Ĉᵀ·(A⊙B) run
+            # through the binary pdf_onehot matmuls instead of gathers
+            C_multi = state_pdf
+            if C_multi.shape != (S1, num_pdfs + 1):
+                raise ValueError(
+                    f"general Ĉ must have shape ({S1}, {num_pdfs + 1})"
+                )
+            # representative pdf per state for metadata; hot paths never
+            # read it in multi mode (empty rows -> phony pdf)
+            rep = np.full(S1, num_pdfs, dtype=np.int32)
+            nz = counts > 0
+            rep[nz] = C_multi.indices[C_multi.indptr[:-1][nz]]
+            state_pdf = rep
+    state_pdf = np.asarray(state_pdf, dtype=np.int32)
     if state_pdf.shape != (S1,):
         raise ValueError(f"state_pdf must have shape ({S1},)")
 
@@ -231,6 +257,14 @@ def compile_fsm(
         # gather-matmul-scatter beyond (ops/blocked.py); 'ell'/'segment'
         # remain for low-degree graphs and exact log-domain needs.
         strategy = "dense" if S1 <= 4096 else "block"
+    if C_multi is not None:
+        if strategy not in ("dense", "block"):
+            raise ValueError(
+                "general Ĉ requires the 'dense' or 'block' strategy"
+            )
+        if domain != "prob":
+            raise ValueError("general Ĉ requires domain='prob'")
+        reorder = "none"  # pdf-grouped layout assumes one pdf per state
 
     # --- optional uniform pdf-grouped relabeling --------------------------
     pdf_group = ()
@@ -318,11 +352,26 @@ def compile_fsm(
     # one-hot Ĉᵀ: lets the per-frame pdf-posterior reduction run as a small
     # MXU matmul instead of segment scatters (worth ~1MB for typical P·S).
     # With a uniform pdf-grouped layout the reduction is a reshape-sum and
-    # the one-hot is never touched on the hot path.
+    # the one-hot is never touched on the hot path.  In general-Ĉ mode this
+    # binary matrix IS the Ĉᵀ of the reference (multiple ones per column).
     if not pdf_group and Sp * (num_pdfs + 1) <= 64 * 1024 * 1024:
         oh = np.zeros((num_pdfs + 1, Sp), dtype=np.float32)
         oh[spdf, np.arange(Sp)] = 1.0
+        if C_multi is not None:
+            fin_cols = C_multi.indices[
+                C_multi.indptr[S1 - 1] : C_multi.indptr[S1]
+            ]
+            if len(fin_cols) != 1 or fin_cols[0] != num_pdfs:
+                raise ValueError("Ĉ phony row must map to the phony pdf")
+            oh[:, :S1] = 0.0
+            scol = np.repeat(np.arange(S1), np.diff(C_multi.indptr))
+            oh[C_multi.indices, scol] = 1.0
         kw["pdf_onehot"] = jnp.asarray(oh)
+    elif C_multi is not None:
+        raise ValueError(
+            "general Ĉ needs the one-hot reduction matrix; "
+            f"(P+1)·Sp = {(num_pdfs + 1) * Sp} exceeds the size limit"
+        )
 
     if strategy == "block":
         from .ops.blocked import build_block_operator
@@ -347,15 +396,17 @@ def compile_fsm(
     if strategy == "ell":
 
         def ell(gather, seg, w):
+            """Vectorized padded incoming-arc list build: sort edges by
+            segment, then each edge's slot is its rank within the segment."""
             D = max(int(np.bincount(seg, minlength=S1).max()) if E else 0, 1)
             es = np.zeros((Sp, D), dtype=np.int32)
             ew = np.full((Sp, D), -np.inf, dtype=np.float64)
-            slot = np.zeros(S1, dtype=np.int64)
-            for k in range(E):
-                j = seg[k]
-                es[j, slot[j]] = gather[k]
-                ew[j, slot[j]] = w[k]
-                slot[j] += 1
+            if E:
+                order = np.argsort(seg, kind="stable")
+                segs = seg[order]
+                slot = np.arange(E) - np.searchsorted(segs, segs)
+                es[segs, slot] = gather[order]
+                ew[segs, slot] = w[order]
             return es, ew
 
         es, ew = ell(rows, cols, data)
@@ -391,6 +442,7 @@ def compile_fsm(
         batched=False,
         precision=precision,
         domain=domain,
+        multi_pdf=C_multi is not None,
         **meta,
         **kw,
     )
@@ -516,6 +568,11 @@ def _make_matvec(cf: CompiledFSM, direction: str):
 
 
 def _make_elhs(cf: CompiledFSM, lengths):
+    if cf.multi_pdf:
+        raise NotImplementedError(
+            "log-domain recursions do not support general Ĉ; use the "
+            "prob-domain pdfposteriors path"
+        )
     Sp = cf.padded_states
     is_phony = (jnp.arange(Sp) == cf.final_state)[:, None]
 
@@ -659,6 +716,44 @@ def _fb_run(kern: _Kernels, lhs, lengths, chunk_size, want_posts, num_pdfs):
     return posts, logZ
 
 
+def _make_eprob(cf: CompiledFSM, lengths):
+    """Per-frame emission probabilities for the prob-domain scans:
+    (lhs_t (B, P), t) -> (e (Sp, B) in [0, 1], m_l (B,) factored log-shift).
+    Shared by the fwd-bwd scan (_fb_prob) and the tropical Viterbi scan."""
+    Sp = cf.padded_states
+    is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
+    P1 = cf.num_pdfs + 1
+
+    def eprob(lhs_t, t):
+        active = t < lengths  # (B,)
+        m_l = jnp.max(lhs_t, axis=1)  # (B,)
+        el = jnp.exp(lhs_t - m_l[:, None])  # (B, P) in (0, 1]
+        ph = jnp.where(active, 0.0, 1.0)[None, :]  # phony-pdf row
+        ext = jnp.concatenate([el.T * active[None, :], ph], axis=0)  # (P1, B)
+        if cf.multi_pdf:
+            # general Ĉ: emission of state s sums its pdf set (the
+            # reference's Ĉ·V̂ expansion, src/inference.jl:151) — one binary
+            # MXU matmul; padding/phony columns carry the phony-pdf one
+            x = jnp.dot(
+                cf.pdf_onehot.T, ext,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif cf.pdf_group:
+            # uniform layout: pdf p owns slots [p*cmax, (p+1)*cmax) — the
+            # state→pdf gather is a broadcast + reshape
+            cmax, lim = cf.pdf_group
+            x = jnp.broadcast_to(ext[:, None, :], (P1, cmax, lhs_t.shape[0]))
+            x = x.reshape(lim, lhs_t.shape[0])
+            x = jnp.pad(x, ((0, Sp - lim), (0, 0)))
+        else:
+            x = ext[cf.state_pdf, :]
+            x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
+        return x, jnp.where(active, m_l, 0.0)
+
+    return eprob
+
+
 def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
              fwd_pmv, bwd_pmv):
     """Probability-domain scan (fast path for the 'dense' and 'block'
@@ -689,30 +784,9 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
-    is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
     onehot = cf.pdf_onehot  # (P+1, Sp) or None
     P1 = cf.num_pdfs + 1
-
-    def eprob(lhs_t, t):
-        """Per-frame emission probabilities (Sp, B) plus the log-shift that
-        was factored out of them."""
-        active = t < lengths  # (B,)
-        m_l = jnp.max(lhs_t, axis=1)  # (B,)
-        el = jnp.exp(lhs_t - m_l[:, None])  # (B, P) in (0, 1]
-        ph = jnp.where(active, 0.0, 1.0)[None, :]  # phony-pdf row
-        ext = jnp.concatenate([el.T * active[None, :], ph], axis=0)  # (P1, B)
-        if cf.pdf_group:
-            # uniform layout: pdf p owns slots [p*cmax, (p+1)*cmax) — the
-            # state→pdf gather is a broadcast + reshape
-            cmax, lim = cf.pdf_group
-            x = jnp.broadcast_to(ext[:, None, :], (P1, cmax, B)).reshape(
-                lim, B
-            )
-            x = jnp.pad(x, ((0, Sp - lim), (0, 0)))
-        else:
-            x = ext[cf.state_pdf, :]
-            x = jnp.where(active[None, :], x, jnp.where(is_ph, 1.0, 0.0))
-        return x, jnp.where(active, m_l, 0.0)
+    eprob = _make_eprob(cf, lengths)
 
     def pdf_reduce(gamma):
         """Σ_states-of-pdf gamma -> (P1, B) plus the per-frame total."""
@@ -725,7 +799,9 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
                 onehot, gamma, preferred_element_type=jnp.float32,
                 precision=prec,
             )
-            tot = jnp.sum(gamma, axis=0)
+            # multi-pdf states contribute to several pdfs, so the per-frame
+            # normalizer is the pdf-space sum, not the state-space sum
+            tot = jnp.sum(s, axis=0) if cf.multi_pdf else jnp.sum(gamma, axis=0)
         else:
             s = jnp.zeros((P1, B), gamma.dtype)
             s = s.at[cf.state_pdf].add(gamma)
@@ -885,12 +961,14 @@ def _fb_prob_pallas(cf: CompiledFSM, lhs, lengths, want_posts):
     a0 = jnp.broadcast_to(
         jnp.exp(cf.alpha_hat)[:, None], (cf.padded_states, B)
     ).astype(jnp.float32)
-    alphas, afin, shift = ps.fused_forward(
+    alphas, afin, shift, ksum = ps.fused_forward(
         wp_f, oh_state, ext, mshift, a0,
         save_alphas=want_posts, precision=cf.precision,
     )
     v = jnp.take(afin, cf.final_state, axis=0)
-    logZ = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF) + shift
+    logZ = _combine_shift(
+        jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), ksum, shift
+    )
     if not want_posts:
         return None, logZ
     posts = ps.fused_backward(
@@ -912,9 +990,16 @@ def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
         and cf.domain == "prob"
         and cf.pdf_onehot is not None
         and not cf.batched
+        # the fused backward normalizes by the state-space sum, which is
+        # only equal to the pdf-space sum when every state has one pdf
+        and not cf.multi_pdf
     ):
         return False
-    if jax.default_backend() != "tpu":
+    # Off-TPU the kernels run in interpret mode — numerically identical but
+    # slow, so it is opt-in (CI parity tests set MMTPU_PALLAS_INTERPRET=1).
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "MMTPU_PALLAS_INTERPRET"
+    ):
         return False
     return ps.pallas_scan_supported(
         cf.padded_states, lhs.shape[0], cf.num_pdfs + 1

@@ -253,20 +253,25 @@ def build_block_operator(
     return op, (band_offsets, tier_descs)
 
 
-def block_matvec(op: BlockOperator, meta, x, precision):
+def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
     """Probability-domain y = T̂ᵀ ⊗ x (or T̂ ⊗ x for the reversed operator):
-    y[j, b] = Σ_e w[e] · x[src[e], b] over the op's edges.  x: (Sp, B).
+    y[j, b] = ⊕_e w[e] · x[src[e], b] over the op's edges.  x: (Sp, B).
 
     ``meta``: (band_offsets, tier_descs) — static, from build_block_operator.
+    ``op_kind``: 'sum' (probability semiring, MXU einsum) or 'max' (tropical
+    semiring in the probability domain — max of products, which the per-frame
+    rescaled Viterbi scan uses; the broadcast-multiply + max-reduce fuses in
+    XLA so the (K, Sm, D, B) intermediate never hits HBM).
     """
     band_offsets, tier_descs = meta
     Sp, B = x.shape
+    combine = jnp.maximum if op_kind == "max" else (lambda a, b: a + b)
     y = jnp.zeros_like(x)
     if op.band_w is not None:
         for oi, off in enumerate(band_offsets):
             # band edge src = dst - off; wrapped rolls hit zero weights
             xs = x if off == 0 else jnp.roll(x, off, axis=0)
-            y = y + op.band_w[oi][:, None] * xs
+            y = combine(y, op.band_w[oi][:, None] * xs)
     for (sidx, didx, W), (gdesc, ddesc) in zip(op.tiers, tier_descs):
         K, Sm = sidx.shape
         D = didx.shape[1]
@@ -280,13 +285,16 @@ def block_matvec(op: BlockOperator, meta, x, precision):
             Xg = view.reshape(K, dk, B)[:, c0 : c0 + Sm]
         else:
             Xg = x[sidx.reshape(-1)].reshape(K, Sm, B)
-        Y = jnp.einsum(
-            "ksd,ksb->kdb",
-            W,
-            Xg,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if op_kind == "max":
+            Y = jnp.max(W[:, :, :, None] * Xg[:, :, None, :], axis=1)
+        else:
+            Y = jnp.einsum(
+                "ksd,ksb->kdb",
+                W,
+                Xg,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         if ddesc[0] == "contig":
             base = ddesc[1]
             flat = Y.reshape(-1, B)
@@ -303,15 +311,25 @@ def block_matvec(op: BlockOperator, meta, x, precision):
             else:
                 rows, width, Yv = D, K, Y.swapaxes(0, 1)
             seg = jax.lax.slice(y, (base, 0), (base + rows * stride, B))
-            seg = seg.reshape(rows, stride, B).at[:, c0 : c0 + width].add(Yv)
+            seg = seg.reshape(rows, stride, B)
+            win = seg[:, c0 : c0 + width]
+            seg = seg.at[:, c0 : c0 + width].set(combine(win, Yv))
             y = jax.lax.dynamic_update_slice(
                 y, seg.reshape(rows * stride, B), (base, 0)
             )
             continue
         else:
-            y = y.at[didx.reshape(-1)].add(Y.reshape(-1, B))
+            if op_kind == "max":
+                y = y.at[didx.reshape(-1)].max(Y.reshape(-1, B))
+            else:
+                y = y.at[didx.reshape(-1)].add(Y.reshape(-1, B))
             continue
-        y = y.at[base : base + K * D, :].add(flat)
+        sl = y[base : base + K * D, :]
+        y = y.at[base : base + K * D, :].set(combine(sl, flat))
     if op.res_src is not None:
-        y = y.at[op.res_dst].add(op.res_w[:, None] * x[op.res_src])
+        contrib = op.res_w[:, None] * x[op.res_src]
+        if op_kind == "max":
+            y = y.at[op.res_dst].max(contrib)
+        else:
+            y = y.at[op.res_dst].add(contrib)
     return y

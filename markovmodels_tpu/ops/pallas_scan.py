@@ -110,8 +110,8 @@ def prepare_emissions(lhs, lengths, num_pdfs: int):
 
 def _make_fwd_kernel(prec: str):
     def kernel(wp_ref, oh_ref, ext_ref, msh_ref, a0_ref,
-               alphas_ref, afin_ref, shift_ref,
-               a_scr, sh_scr, co_scr):
+               alphas_ref, afin_ref, shift_ref, ksum_ref,
+               a_scr, sh_scr, co_scr, k_scr):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -119,6 +119,7 @@ def _make_fwd_kernel(prec: str):
             a_scr[:] = a0_ref[:]
             sh_scr[:] = jnp.zeros_like(sh_scr)
             co_scr[:] = jnp.zeros_like(co_scr)
+            k_scr[:] = jnp.zeros_like(k_scr)
 
         a = a_scr[:]
         p = _mm(wp_ref[:], a, prec)
@@ -126,10 +127,14 @@ def _make_fwd_kernel(prec: str):
         e = _mm(oh_ref[:], ext_ref[0], "f32")
         y = p * e
         m = jnp.max(y, axis=0, keepdims=True)  # (1, B)
-        ms = jnp.where(m > 0, m, 1.0)
-        y = y / ms
-        # Kahan-compensated shift accumulation (inference._kahan_add)
-        x = jnp.where(m > 0, jnp.log(ms), 0.0) + msh_ref[0]
+        # exact power-of-two rescale (inference._fb_prob): the division is
+        # round-off free and k accumulates exactly as an f32 integer; only
+        # the emission max goes through the Kahan-compensated real shift
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        y = y * jnp.exp2(-k)
+        kt = k_scr[:] + k
+        k_scr[:] = kt
+        x = msh_ref[0]
         s = sh_scr[:]
         c = co_scr[:]
         xc = x - c
@@ -143,6 +148,7 @@ def _make_fwd_kernel(prec: str):
         def _():
             afin_ref[:] = y
             shift_ref[:] = t
+            ksum_ref[:] = kt
 
     return kernel
 
@@ -181,7 +187,9 @@ def fused_forward(wp, oh_state, ext, mshift, a0, *, save_alphas=True,
     ``wp``: (Sp, Sp) prob-domain forward operator (wp[j, i] = exp T̂[i, j]);
     ``oh_state``: (Sp, P1) one-hot state→pdf; ``ext``/``mshift``: from
     :func:`prepare_emissions`; ``a0``: (Sp, B) initial probabilities.
-    Returns (alphas (Nf or 1, Sp, B), a_final (Sp, B), shift (B,)).
+    Returns (alphas (Nf or 1, Sp, B), a_final (Sp, B), shift (B,),
+    ksum (B,)): logZ = log a_final[fin] + ksum·ln2 + shift (combine with
+    inference._combine_shift for the exact Cody-Waite split).
     When ``save_alphas`` is False, per-frame alphas are written to a 1-frame
     ring (forward-only logZ path, no HBM checkpoint traffic).
     """
@@ -190,7 +198,7 @@ def fused_forward(wp, oh_state, ext, mshift, a0, *, save_alphas=True,
     const = lambda i: (0, 0)
     n_alpha = Nf if save_alphas else 1
     alpha_map = (lambda i: (i, 0, 0)) if save_alphas else (lambda i: (0, 0, 0))
-    alphas, afin, shift = pl.pallas_call(
+    alphas, afin, shift, ksum = pl.pallas_call(
         _make_fwd_kernel(precision),
         grid=(Nf,),
         in_specs=[
@@ -204,14 +212,17 @@ def fused_forward(wp, oh_state, ext, mshift, a0, *, save_alphas=True,
             pl.BlockSpec((1, Sp, B), alpha_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((Sp, B), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_alpha, Sp, B), jnp.float32),
             jax.ShapeDtypeStruct((Sp, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Sp, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
             pltpu.VMEM((1, B), jnp.float32),
             pltpu.VMEM((1, B), jnp.float32),
         ],
@@ -220,7 +231,7 @@ def fused_forward(wp, oh_state, ext, mshift, a0, *, save_alphas=True,
         ),
         interpret=_interpret(),
     )(wp, oh_state, ext, mshift, a0)
-    return alphas, afin, shift[0]
+    return alphas, afin, shift[0], ksum[0]
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))

@@ -33,6 +33,7 @@ __all__ = [
     "shard_compiled",
     "sharded_pdfposteriors",
     "sharded_logmarginal",
+    "sharded_viterbi",
 ]
 
 NEG_INF = -jnp.inf
@@ -231,6 +232,120 @@ def sharded_pdfposteriors(
             kern, lhs_l, len_l, chunk_size, True, sf.num_pdfs
         )
         return posts, logZ
+
+    return run(sf, lhs, lengths)
+
+
+def sharded_viterbi(
+    sf: ShardedFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+):
+    """State-sharded Viterbi decode (BASELINE config 5; the reference's
+    Viterbi is single-device and disabled, src/MarkovModels.jl:56-57).
+
+    Forward: tropical recursion inside ``shard_map`` — per frame one
+    all_gather of the state vector over ICI, then each shard max-reduces its
+    local destination rows (edges are partitioned by destination, so the
+    shard owning a state resolves that state's **exact global argmax** and
+    records the global source id as its backpointer; no cross-shard argmax
+    merge is needed).  Backtrace: the current state id is replicated; the
+    owning shard looks up its local backpointer and the result is exchanged
+    with a ``pmax`` over the model axis (non-owners contribute -1).
+
+    Returns (states (B, N) int32 global state ids, score (B,)).
+    """
+    lhs = jnp.asarray(lhs)
+    B, N, _ = lhs.shape
+    if lengths is None:
+        lengths = jnp.full((B,), N)
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), N)
+    dspec = P(data_axis) if data_axis else P()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(model_axis), sf), dspec, dspec),
+        out_specs=(dspec, dspec),
+        check_vma=False,
+    )
+    def run(sf_local, lhs_l, len_l):
+        sf_local = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") else x, sf_local
+        )
+        Sl = sf_local.alpha.shape[0]
+        Bl = lhs_l.shape[0]
+        Nf = N + 1
+        is_ph = sf_local.is_final[:, None]
+        my = lax.axis_index(model_axis)
+        offset = my * Sl
+
+        lhs_tm = jnp.pad(
+            jnp.moveaxis(lhs_l, 1, 0), ((0, Nf - N), (0, 0), (0, 0))
+        )
+        ts = jnp.arange(Nf, dtype=jnp.int32)
+
+        def elhs(lhs_t, t):
+            lhs_ext = jnp.concatenate(
+                [lhs_t.T, jnp.full((1, Bl), NEG_INF, lhs_t.dtype)], axis=0
+            )
+            x = lhs_ext[sf_local.state_pdf, :]
+            active = (t < len_l)[None, :]
+            return jnp.where(active, x, jnp.where(is_ph, 0.0, NEG_INF))
+
+        own_ids = (offset + jnp.arange(Sl, dtype=jnp.int32))[:, None]
+
+        def fstep(carry, inp):
+            x, shift = carry
+            lhs_t, t = inp
+            x_full = lax.all_gather(x, model_axis, axis=0, tiled=True)
+            y, bp = sops.segment_matvec(
+                sf_local.fwd_gather, sf_local.fwd_seg, sf_local.fwd_w,
+                x_full, Sl, op="max",
+            )
+            y = jnp.where(t == 0, x, y)
+            bp = jnp.where(t == 0, jnp.broadcast_to(own_ids, bp.shape), bp)
+            y = y + elhs(lhs_t, t)
+            m = lax.pmax(jnp.max(y, axis=0), model_axis)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            return (y - m[None, :], shift + m), bp
+
+        x0 = jnp.broadcast_to(sf_local.alpha[:, None], (Sl, Bl)).astype(
+            lhs_l.dtype
+        )
+        (xF, shiftF), bps = lax.scan(
+            fstep, (x0, jnp.zeros(Bl, lhs_l.dtype)), (lhs_tm, ts)
+        )
+        v = jnp.max(jnp.where(is_ph, xF, NEG_INF), axis=0)
+        score = lax.pmax(v, model_axis) + shiftF
+
+        # global phony-final id: the only True entry of is_final
+        fin_loc = jnp.argmax(
+            jnp.max(sf_local.is_final[:, None], axis=1)
+        ).astype(jnp.int32)
+        has_fin = jnp.any(sf_local.is_final)
+        fin_global = lax.pmax(
+            jnp.where(has_fin, offset + fin_loc, -1), model_axis
+        )
+
+        bcol = jnp.arange(Bl)
+
+        def btrace(s, bp_t):
+            loc = s - offset
+            inb = (loc >= 0) & (loc < Sl)
+            cand = jnp.where(
+                inb, bp_t[jnp.clip(loc, 0, Sl - 1), bcol], -1
+            )
+            s_new = lax.pmax(cand, model_axis)
+            return s_new, s_new
+
+        s_last = jnp.broadcast_to(fin_global, (Bl,)).astype(jnp.int32)
+        _, states = lax.scan(btrace, s_last, bps[1:], reverse=True)
+        return jnp.moveaxis(states, 1, 0), score  # (Bl, N)
 
     return run(sf, lhs, lengths)
 

@@ -3,18 +3,38 @@
 The reference disabled its Viterbi exports in v0.10
 (``maxstateposteriors``/``bestpath`` commented out, reference
 src/MarkovModels.jl:56-57; historical tests test/test_algorithms.jl:262-284);
-here it is first-class: the same scan skeleton as inference.py run in the
-tropical (max-plus) semiring, recording int32 backpointers per frame, then a
-reverse scan gathers the best state sequence.  Runs on the segment or ELL
-edge arrays (always present in a CompiledFSM regardless of strategy).
+here it is first-class, with two regimes:
+
+* small/medium graphs ('segment'/'ell' strategies): the same scan skeleton
+  as inference.py run in the log-domain tropical semiring, recording int32
+  backpointers per frame, then a reverse scan gathers the best sequence.
+* at scale ('dense'/'block' strategies, e.g. the 2M-arc denominator): a
+  **backpointer-free** design.  Storing (N, Sp, B) int32 backpointers costs
+  as much HBM as the alphas themselves and the argmax cannot ride the MXU,
+  so instead the forward pass is the same max-times probability-domain scan
+  as inference._fb_prob (per-frame exact power-of-two rescaling; max instead
+  of sum — the blocked/dense operators reused with ``op_kind='max'``), and
+  the path is recovered chunk-by-chunk in reverse: recompute the chunk's
+  alphas from the saved boundary (the chunk-checkpoint trick), then walk
+  s_t = argmax over the ≤D_in incoming arcs of s_{t+1} — a (B, D_in) gather
+  per frame, negligible next to the scan.
 """
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .inference import CompiledFSM, _make_elhs, _colmax_safe
+from .inference import (
+    CompiledFSM,
+    _colmax_safe,
+    _combine_shift,
+    _kahan_add,
+    _make_elhs,
+    _make_eprob,
+)
 from .ops import semiring_ops as sops
 
 __all__ = ["viterbi", "best_path", "maxstateposteriors"]
@@ -80,13 +100,182 @@ def _viterbi_single(cf: CompiledFSM, lhs, lengths):
     return states, score
 
 
-def viterbi(cf: CompiledFSM, lhs, lengths=None):
+def _trop_prob_matvec(cf: CompiledFSM):
+    """Forward tropical matvec in the probability domain:
+    y[j, b] = max_i exp(T̂[i, j]) · x[i, b] — reuses the compiled dense/block
+    operators with max in place of the sum reduction."""
+    if cf.strategy == "dense":
+        Wp = jnp.exp(cf.dense_fwd_max)[:, None] * cf.dense_fwd_exp
+
+        def mv(a):
+            # broadcast-multiply + max-reduce fuses in XLA (no (Sp, Sp, B)
+            # intermediate in HBM)
+            return jnp.max(Wp[:, :, None] * a[None, :, :], axis=1)
+
+        return mv
+    if cf.strategy == "block":
+        from .ops.blocked import block_matvec
+
+        def mv(a):
+            y = block_matvec(
+                cf.block_fwd, cf.block_fwd_offsets, a, None, op_kind="max"
+            )
+            if cf.omega_prob is not None:
+                # rank-1 ω handling (inference._make_prob_matvecs)
+                yfin = jnp.max(cf.omega_prob[:, None] * a, axis=0)
+                y = y.at[cf.final_state].set(yfin)
+            return y
+
+        return mv
+    raise ValueError(f"no tropical prob matvec for strategy {cf.strategy!r}")
+
+
+_FULL_MEM_BYTES = 4 << 30
+
+
+def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
+    """Backpointer-free Viterbi for 'dense'/'block' graphs (module
+    docstring).  Returns (states (B, N) int32 in compiled numbering,
+    score (B,))."""
+    B, N, P = lhs.shape
+    Sp = cf.padded_states
+    Nf = N + 1
+    if chunk_size is None:
+        est = Nf * Sp * B * 4
+        chunk_size = Nf if est <= _FULL_MEM_BYTES else 64
+    K = min(chunk_size, Nf)
+    C = -(-Nf // K)
+    Npad = C * K
+
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Npad, dtype=jnp.int32)
+    lhs_cm = lhs_tm.reshape(C, K, B, P)
+    ts_cm = ts.reshape(C, K)
+
+    eprob = _make_eprob(cf, lengths)
+    mv = _trop_prob_matvec(cf)
+
+    # incoming-arc CSR pointers over the dst-sorted fwd edge arrays (host
+    # side; cf must be concrete — close over the graph when jitting).
+    # The phony final state is EXCLUDED from the gather width: its in-degree
+    # is O(S) (every state's ω arc) and a parked decoder sits on it for all
+    # padded frames, so gathering its arc list per frame would dominate the
+    # whole decode (measured 58 s vs 0.5 s forward at the 2M scale); the
+    # ω transition at t = L-1 is resolved analytically from the rank-1 ω
+    # vector instead.
+    fin_idx = int(cf.final_state)
+    dst_np = np.asarray(cf.fwd_dst)
+    Ep = len(dst_np)
+    rowptr_np = np.searchsorted(dst_np, np.arange(Sp + 1)).astype(np.int32)
+    indeg = np.diff(rowptr_np)
+    indeg[fin_idx] = 0
+    indeg[Sp - 1] = 0  # padding edges park on the last slot
+    Dmax = max(int(indeg.max()), 1)
+    rowptr = jnp.asarray(rowptr_np)
+
+    # ω probabilities: exp(T̂[:, fin]) (fin's own slot is harmless — its
+    # alpha is zero on active frames)
+    if cf.strategy == "block" and cf.omega_prob is not None:
+        omega_p = cf.omega_prob
+    else:
+        omega_p = jnp.exp(cf.dense_fwd_max[fin_idx]) * cf.dense_fwd_exp[
+            fin_idx
+        ]
+
+    a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
+        lhs.dtype
+    )
+
+    def fstep(carry, inp):
+        a, ksum, shift, comp = carry
+        lhs_t, t = inp
+        p = jnp.where(t == 0, a, mv(a))
+        e, m_l = eprob(lhs_t, t)
+        y = p * e
+        m = jnp.max(y, axis=0)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        y = y * jnp.exp2(-k)[None, :]
+        shift, comp = _kahan_add(shift, comp, m_l)
+        return (y, ksum + k, shift, comp), None
+
+    def fstep_save(carry, inp):
+        new_carry, _ = fstep(carry, inp)
+        return new_carry, new_carry[0]
+
+    def chunk_fwd(carry, inp):
+        boundary = carry[0]
+        new_carry, _ = lax.scan(fstep, carry, inp)
+        return new_carry, boundary
+
+    zero = jnp.zeros(B, lhs.dtype)
+    (aF, kF, sF, _), boundaries = lax.scan(
+        chunk_fwd, (a0, zero, zero, zero), (lhs_cm, ts_cm)
+    )
+    v = jnp.take(aF, cf.final_state, axis=0)
+    score = _combine_shift(
+        jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
+    )
+
+    offs = jnp.arange(Dmax, dtype=jnp.int32)
+
+    fin_b = jnp.broadcast_to(cf.final_state, (B,)).astype(jnp.int32)
+
+    def bstep(s, inp):
+        a_t, t = inp
+        # s = s_{t+1}; recover s_t from the incoming arcs of s
+        rp = rowptr[s]  # (B,)
+        cnt = jnp.where(s == fin_idx, 0, rowptr[s + 1] - rp)
+        eidx = jnp.minimum(rp[:, None] + offs[None, :], Ep - 1)  # (B, D)
+        src = cf.fwd_src[eidx]
+        wlog = cf.fwd_w[eidx]
+        av = jnp.take_along_axis(a_t.T, src, axis=1)  # (B, D)
+        valid = offs[None, :] < cnt[:, None]
+        cand = jnp.where(valid & (av > 0), jnp.log(av) + wlog, NEG_INF)
+        # ties -> largest source index (the segment/ELL kernels' convention)
+        best = (Dmax - 1) - jnp.argmax(cand[:, ::-1], axis=1)
+        s_t = jnp.take_along_axis(src, best[:, None], axis=1)[:, 0]
+
+        # t = L-1: transition into phony via the ω arcs (rank-1, full-width
+        # argmax) — lax.cond skips the (Sp, B) work on every other frame
+        is_last = t == lengths - 1
+
+        def with_omega(sg):
+            oc = a_t * omega_p[:, None]  # (Sp, B)
+            ob = (Sp - 1) - jnp.argmax(oc[::-1, :], axis=0)
+            return jnp.where(is_last, ob.astype(jnp.int32), sg)
+
+        s_t = lax.cond(jnp.any(is_last), with_omega, lambda sg: sg, s_t)
+        # t >= L: decoder is parked on the phony final state
+        s_t = jnp.where(t >= lengths, fin_b, s_t)
+        return s_t, s_t
+
+    def btrace_chunk(s, inp):
+        bound, lhs_k, ts_k = inp
+        _, A_k = lax.scan(fstep_save, (bound, zero, zero, zero), (lhs_k, ts_k))
+        return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
+
+    s0 = jnp.broadcast_to(cf.final_state, (B,)).astype(jnp.int32)
+    _, states_cm = lax.scan(
+        btrace_chunk, s0, (boundaries, lhs_cm, ts_cm), reverse=True
+    )
+    states = states_cm.reshape(Npad, B)[:N].T  # (B, N)
+    if cf.orig_state is not None:
+        states = jnp.take(cf.orig_state, states, axis=0)
+    return states, score
+
+
+def viterbi(cf: CompiledFSM, lhs, lengths=None, *, chunk_size=None):
     """Best-path decode.  Returns (state sequence (B, N) int32, score (B,)).
 
     For frames past each utterance's length the recursion sits on the phony
     final state, so returned entries there equal the phony state id; mask
     with ``lengths`` when consuming.
     """
+    if getattr(cf, "multi_pdf", False):
+        raise NotImplementedError(
+            "Viterbi over a general Ĉ (multi-pdf states) is not supported: "
+            "the tropical emission would be a max over the pdf set"
+        )
     lhs = jnp.asarray(lhs)
     if lengths is None:
         lengths = jnp.full((lhs.shape[0],), lhs.shape[-2])
@@ -97,6 +286,8 @@ def viterbi(cf: CompiledFSM, lhs, lengths=None):
 
         states, score = jax.vmap(one)(cf, lhs, lengths)
         return states[:, 0], score[:, 0]
+    if cf.strategy in ("dense", "block"):
+        return _viterbi_scale(cf, lhs, lengths, chunk_size)
     return _viterbi_single(cf, lhs, lengths)
 
 

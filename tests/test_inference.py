@@ -186,6 +186,62 @@ def test_lfmmi_loss_runs_and_grads():
     )
 
 
+@pytest.mark.parametrize("strategy", ["dense", "block"])
+def test_general_statemap_multi_pdf(strategy):
+    """General Ĉ (a state emitting several pdfs — reference
+    src/inference.jl:7-8) matches a dense f64 oracle."""
+    rng = np.random.default_rng(31)
+    S, P, N, B = 6, 4, 18, 2
+    fsm, _, (alpha, T, omega) = make_hmm(rng, S, P, lr=False)
+    # binary Ĉ of shape (S+1, P+1): state 1 emits pdfs {0, 2}, state 3
+    # emits {1, 2, 3}, the rest one pdf each, phony -> P
+    pdf_sets = [[2], [0, 2], [3], [1, 2, 3], [0], [1], [P]]
+    rows = np.repeat(np.arange(S + 1), [len(s) for s in pdf_sets])
+    cols = np.concatenate([np.array(s) for s in pdf_sets])
+    C = hs.spmat_from_coo(
+        rows, cols, np.zeros(len(rows)), (S + 1, P + 1), mm.LOG
+    )
+    loglik = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([18, 9], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, C, P, strategy=strategy)
+    assert cf.multi_pdf
+    posts, logZ = inf.pdfposteriors(
+        cf, jnp.asarray(loglik), jnp.asarray(lengths), chunk_size=8
+    )
+    posts, logZ = np.asarray(posts), np.asarray(logZ)
+
+    # dense oracle: emission of state s = logsumexp over its pdf set;
+    # posterior of pdf p sums gamma over every state whose set contains p,
+    # normalized by the pdf-space per-frame total
+    for b in range(B):
+        L = int(lengths[b])
+        ll = loglik[b, :L].astype(np.float64)
+        lhs_state = np.array(
+            [logsumexp(ll[:, ps], axis=1) for ps in pdf_sets[:S]]
+        ).T  # (L, S)
+        logA = np.full((L, S), -np.inf)
+        logA[0] = alpha + lhs_state[0]
+        for t in range(1, L):
+            logA[t] = logsumexp(logA[t - 1][:, None] + T, axis=0) + lhs_state[t]
+        logB = np.full((L, S), -np.inf)
+        logB[L - 1] = omega
+        for t in range(L - 2, -1, -1):
+            logB[t] = logsumexp(
+                T + (lhs_state[t + 1] + logB[t + 1])[None, :], axis=1
+            )
+        ref_logZ = logsumexp(logA[L - 1] + omega)
+        gamma = np.exp(logA + logB - ref_logZ)  # (L, S)
+        gp = np.zeros((L, P + 1))
+        for s_, ps in enumerate(pdf_sets[:S]):
+            for p in ps:
+                gp[:, p] += gamma[:, s_]
+        ref_posts = gp[:, :P] / gp.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(logZ[b], ref_logZ, atol=2e-4, rtol=1e-5)
+        np.testing.assert_allclose(posts[b, :L], ref_posts, atol=2e-4)
+        assert np.all(posts[b, L:] == 0.0)
+
+
 def test_expand_matches_reference_semantics():
     """expand (P,N)->(P+1,N+1) per reference src/inference.jl:38-60."""
     V = jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3))

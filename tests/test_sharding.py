@@ -14,6 +14,7 @@ from markovmodels_tpu.parallel import (
     sharded_pdfposteriors,
     sharded_logmarginal,
 )
+from markovmodels_tpu.parallel.sharded import sharded_viterbi
 from tests.test_inference import make_hmm, oracle_fb
 
 
@@ -86,6 +87,33 @@ def test_sharded_gradient(graph):
     cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
     posts, _ = inf.pdfposteriors(cf, lhs, lengths)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(posts), atol=1e-5)
+
+
+def test_sharded_viterbi_exact(graph):
+    """Sharded Viterbi paths must equal the single-device decode exactly
+    (backpointer exchange over the model axis; BASELINE config 5)."""
+    from markovmodels_tpu import viterbi as vit
+
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(26)
+    B, N = 4, 17
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([17, 8, 13, 17], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    ref_states, ref_score = vit.viterbi(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths)
+    )
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled(fsm, state_pdf, P, num_shards=4)
+    states, score = sharded_viterbi(
+        sf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(ref_score), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(states), np.asarray(ref_states))
 
 
 def test_data_parallel_jit(graph):

@@ -73,6 +73,49 @@ def test_viterbi_ragged_batch():
         assert np.all(states[b, L:] == cf.num_states - 1)
 
 
+@pytest.mark.parametrize("strategy", ["dense", "block"])
+@pytest.mark.parametrize("chunk", [None, 7])
+def test_viterbi_scale_exact(strategy, chunk):
+    """The backpointer-free at-scale path ('dense'/'block' strategies,
+    chunk-checkpointed recompute) returns exactly the oracle path."""
+    rng = np.random.default_rng(15)
+    S, P, N, B = 9, 4, 30, 3
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P, lr=False)
+    T = T.copy()
+    T[:, S - 1] = np.maximum(T[:, S - 1], np.log(0.05))
+    from markovmodels_tpu import hostsparse as hs
+    fsm = mm.FSM.from_parts(alpha, hs.spmat_from_dense(T, mm.LOG), omega,
+                            fsm.labels, mm.LOG)
+    loglik = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([30, 13, 21], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy=strategy)
+    states, score = vit.viterbi(cf, jnp.asarray(loglik), jnp.asarray(lengths),
+                                chunk_size=chunk)
+    states, score = np.asarray(states), np.asarray(score)
+    for b in range(B):
+        L = lengths[b]
+        ref_path, ref_score = oracle_viterbi(alpha, T, omega, state_pdf,
+                                             loglik[b, :L].astype(np.float64))
+        np.testing.assert_allclose(score[b], ref_score, atol=1e-4)
+        np.testing.assert_array_equal(states[b, :L], ref_path)
+        assert np.all(states[b, L:] == cf.num_states - 1)
+
+
+def test_viterbi_scale_matches_segment_on_reordered_block():
+    """'block' + pdf-grouped relabeling must report host state ids."""
+    rng = np.random.default_rng(16)
+    S, P, N = 12, 5, 18
+    fsm, state_pdf, (alpha, T, omega) = make_hmm(rng, S, P, lr=False)
+    loglik = rng.normal(size=(1, N, P)).astype(np.float32)
+    cs = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    cb = inf.compile_fsm(fsm, state_pdf, P, strategy="block", reorder="pdf")
+    s_ref, z_ref = vit.viterbi(cs, jnp.asarray(loglik))
+    s_blk, z_blk = vit.viterbi(cb, jnp.asarray(loglik))
+    np.testing.assert_allclose(np.asarray(z_blk), np.asarray(z_ref), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_ref))
+
+
 def test_maxstateposteriors_best_path_zero():
     rng = np.random.default_rng(13)
     S, P, N = 5, 3, 15
