@@ -233,6 +233,18 @@ def main():
     )
     lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
     lengths = jnp.full((B,), N, dtype=jnp.int32)
+    fused = inf._pallas_block_ok(cf, lhs)
+    Sp = cf.padded_states
+    arcs = info["arcs"]
+    # bytes/frame: fused keeps operator+state in VMEM (alpha checkpoint
+    # write + read is the only per-frame stream); the XLA scan re-streams
+    # the operator and moves the state 3x per frame
+    bpf = (2 * Sp * B * 4) if fused else (3 * (arcs * 4 + 2 * Sp * B * 4))
+    print(
+        f"# 2m path: {'fused-pallas-block (VMEM-resident operator)' if fused else 'xla lax.scan block'}"
+        f", est HBM bytes/frame = {bpf / 1e6:.1f} MB",
+        file=sys.stderr,
+    )
     t_2m = _time_posteriors(inf, jax, cf, lhs, lengths)
     v_2m = audio_s / t_2m
     print(f"# 2m fwd-bwd: {t_2m:.4f} s -> {v_2m:.0f} audio-s/s", file=sys.stderr)

@@ -452,7 +452,16 @@ def stack(cfsms) -> CompiledFSM:
     """Stack compiled FSMs into one batched structure (padding to common
     shapes) — the TPU-native ``batch`` (reference src/inference.jl:28-36):
     instead of blockdiag-ing sparse storage, graphs get a leading batch axis
-    and the recursions vmap over it."""
+    and the recursions vmap over it.
+
+    Fast-path note: stacked graphs support the 'dense' strategy, whose
+    vmapped prob-domain scan runs batched MXU matmuls — the appropriate
+    fast path for heterogeneous per-utterance graphs (numerators are small,
+    so their dense operators are cheap).  The 'block' strategy and the
+    fused Pallas scans target one LARGE graph shared across the batch (the
+    LF-MMI denominator); stacking block operators is rejected because that
+    workload shape (many distinct 2M-arc graphs in one batch) does not
+    occur — the shared-graph batch axis already covers it."""
     cfsms = list(cfsms)
     if any(c.batched for c in cfsms):
         raise ValueError("can only stack unbatched CompiledFSMs")
@@ -772,21 +781,9 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
     B, N, P = lhs.shape
     if P != cf.num_pdfs:
         raise ValueError(f"lhs has {P} pdfs, graph expects {cf.num_pdfs}")
-    Sp = cf.padded_states
-    Nf = N + 1
-    K = min(chunk_size, Nf)
-    C = -(-Nf // K)
-    Npad = C * K
     prec = sops._PRECISIONS[cf.precision]
-
-    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
-    ts = jnp.arange(Npad, dtype=jnp.int32)
-    lhs_cm = lhs_tm.reshape(C, K, B, P)
-    ts_cm = ts.reshape(C, K)
-
     onehot = cf.pdf_onehot  # (P+1, Sp) or None
     P1 = cf.num_pdfs + 1
-    eprob = _make_eprob(cf, lengths)
 
     def pdf_reduce(gamma):
         """Σ_states-of-pdf gamma -> (P1, B) plus the per-frame total."""
@@ -808,9 +805,61 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
             tot = jnp.sum(gamma, axis=0)
         return s, tot
 
-    a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
-        lhs.dtype
+    def final_val(a, ksum, shift):
+        v = jnp.take(a, cf.final_state, axis=0)
+        return _combine_shift(
+            jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF),
+            ksum,
+            shift,
+        )
+
+    kern = _ProbKernels(
+        alpha0=jnp.exp(cf.alpha_hat),
+        fwd_pmv=fwd_pmv,
+        bwd_pmv=bwd_pmv,
+        eprob=_make_eprob(cf, lengths),
+        colmax=lambda y: jnp.max(y, axis=0),
+        pdf_reduce=pdf_reduce,
+        final_val=final_val,
     )
+    return _fbp_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
+
+
+@dataclasses.dataclass
+class _ProbKernels:
+    """Pluggable pieces of the probability-domain forward-backward scan —
+    the prob-domain twin of ``_Kernels``.  Single-device inference builds
+    them from a CompiledFSM (``_fb_prob``); the state-sharded fast path
+    (parallel/sharded.py) builds versions with mesh collectives baked in,
+    reusing the identical chunk-checkpointed skeleton (``_fbp_run``)."""
+
+    alpha0: jnp.ndarray  # (S_loc,) initial probabilities exp(α̂)
+    fwd_pmv: callable  # (S_loc, B) -> (S_loc, B) probability matvec T̂ᵀ
+    bwd_pmv: callable  # (S_loc, B) -> (S_loc, B) probability matvec T̂
+    eprob: callable  # (lhs_t (B, P), t) -> (e (S_loc, B), m_l (B,))
+    colmax: callable  # (S_loc, B) -> (B,) global per-column max
+    pdf_reduce: callable  # gamma (S_loc, B) -> (s (P+1, B), tot (B,))
+    final_val: callable  # (a, ksum, shift) -> (B,) logZ
+
+
+def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
+             num_pdfs):
+    """Chunk-checkpointed probability-domain scan over a kernel bundle.
+    lhs: (B, N, P); returns (posts (B, N, P) or None, logZ (B,))."""
+    B, N, P = lhs.shape
+    Sl = kern.alpha0.shape[0]
+    Nf = N + 1
+    K = min(chunk_size, Nf)
+    C = -(-Nf // K)
+    Npad = C * K
+    P1 = num_pdfs + 1
+
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Npad, dtype=jnp.int32)
+    lhs_cm = lhs_tm.reshape(C, K, B, P)
+    ts_cm = ts.reshape(C, K)
+
+    a0 = jnp.broadcast_to(kern.alpha0[:, None], (Sl, B)).astype(lhs.dtype)
     shift0 = jnp.zeros(B, lhs.dtype)
     comp0 = jnp.zeros(B, lhs.dtype)
     k0 = jnp.zeros(B, lhs.dtype)
@@ -818,10 +867,10 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
     def fstep(carry, inp):
         a, ksum, shift, comp = carry
         lhs_t, t = inp
-        p = jnp.where(t == 0, a, fwd_pmv(a))
-        e, m_l = eprob(lhs_t, t)
+        p = jnp.where(t == 0, a, kern.fwd_pmv(a))
+        e, m_l = kern.eprob(lhs_t, t)
         y = p * e
-        m = jnp.max(y, axis=0)  # (B,)
+        m = kern.colmax(y)  # (B,)
         # exact power-of-two rescale: the division is round-off free and the
         # shift is an exactly-accumulated integer exponent (the emission
         # max m_l still goes through the Kahan-compensated real shift)
@@ -835,33 +884,25 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
         new_carry, _ = fstep(carry, inp)
         return new_carry, new_carry[0]
 
-    def final_val(a, ksum, shift):
-        v = jnp.take(a, cf.final_state, axis=0)
-        return _combine_shift(
-            jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF),
-            ksum,
-            shift,
-        )
-
     def bstep(c, i):
         bb = c
         a_t, lhs_t, t = i
-        y = jnp.where(t == Npad - 1, jnp.ones_like(bb), bwd_pmv(bb))
-        m = jnp.max(y, axis=0)
+        y = jnp.where(t == Npad - 1, jnp.ones_like(bb), kern.bwd_pmv(bb))
+        m = kern.colmax(y)
         y = y * jnp.exp2(-jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0))[None, :]
-        gamma = a_t * y  # (Sp, B) probs, arbitrary per-frame scale
-        s, tot = pdf_reduce(gamma)
+        gamma = a_t * y  # (Sl, B) probs, arbitrary per-frame scale
+        s, tot = kern.pdf_reduce(gamma)
         posts_t = s / jnp.where(tot > 0, tot, 1.0)[None, :]
-        e, _ = eprob(lhs_t, t)
+        e, _ = kern.eprob(lhs_t, t)
         return y * e, posts_t
 
-    binit = jnp.ones((Sp, B), lhs.dtype)
+    binit = jnp.ones((Sl, B), lhs.dtype)
 
     if C == 1:
         (aF, kF, shiftF, _), A = lax.scan(
             fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts)
         )
-        logZ = final_val(aF, kF, shiftF)
+        logZ = kern.final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
         _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
@@ -874,7 +915,7 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
         (aF, kF, shiftF, _), boundaries = lax.scan(
             chunk_fwd, (a0, k0, shift0, comp0), (lhs_cm, ts_cm)
         )
-        logZ = final_val(aF, kF, shiftF)
+        logZ = kern.final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
 
@@ -887,7 +928,7 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
             chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
         )
     posts = posts.reshape(Npad, P1, B)
-    posts = jnp.moveaxis(posts, 2, 0)[:, :N, : cf.num_pdfs]
+    posts = jnp.moveaxis(posts, 2, 0)[:, :N, :num_pdfs]
     return posts, logZ
 
 
@@ -978,6 +1019,48 @@ def _fb_prob_pallas(cf: CompiledFSM, lhs, lengths, want_posts):
     return posts, logZ
 
 
+def _fb_block_pallas(cf: CompiledFSM, lhs, lengths, want_posts, chunk_size):
+    """Fused Pallas scan for the blocked operator (ops/pallas_block.py):
+    operator + state resident in VMEM, chunk-boundary checkpoints only on
+    the forward pass."""
+    from .ops import pallas_block as pb
+    from .ops import pallas_scan as ps
+
+    B, N, P = lhs.shape
+    if P != cf.num_pdfs:
+        raise ValueError(f"lhs has {P} pdfs, graph expects {cf.num_pdfs}")
+    ext, mshift = ps.prepare_emissions(lhs, lengths, P)
+    chunk = 64 if chunk_size is None else min(chunk_size, N + 1)
+    posts, vfin, shift, ksum = pb.block_fused_fb(
+        cf, ext, mshift, want_posts, chunk=chunk
+    )
+    logZ = _combine_shift(
+        jnp.where(vfin > 0, jnp.log(jnp.maximum(vfin, 1e-38)), NEG_INF),
+        ksum,
+        shift,
+    )
+    if not want_posts:
+        return None, logZ
+    posts = jnp.moveaxis(posts, 2, 0)[:, :N, :P]  # (B, N, P)
+    return posts, logZ
+
+
+def _pallas_block_ok(cf: CompiledFSM, lhs) -> bool:
+    import os
+
+    from .ops import pallas_block as pb
+
+    if os.environ.get("MMTPU_NO_PALLAS"):
+        return False
+    if cf.strategy != "block" or cf.domain != "prob":
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "MMTPU_PALLAS_INTERPRET"
+    ):
+        return False
+    return pb.block_scan_supported(cf, lhs.shape[0])
+
+
 def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
     import os
 
@@ -1009,6 +1092,8 @@ def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
 def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     if _pallas_ok(cf, lhs):
         return _fb_prob_pallas(cf, lhs, lengths, want_posts)
+    if _pallas_block_ok(cf, lhs):
+        return _fb_block_pallas(cf, lhs, lengths, want_posts, chunk_size)
     if cf.domain == "prob" and (
         (cf.strategy == "dense" and cf.pdf_onehot is not None)
         or cf.strategy == "block"

@@ -12,8 +12,9 @@ ring-attention/context-parallel; paper: *Temporal Parallelization of Inference
 in Hidden Markov Models*, PAPERS.md).  The trade is FLOPs for depth: matmuls
 (S³) replace matvecs (S²), so this pays off when S is small and N is long —
 per-utterance *numerator* alignment graphs, not the big denominator — or when
-the time axis is sharded across devices (parallel/timeshard.py) and each
-device folds only its local chunk.
+the time axis is sharded across devices (``parallel/timeshard.py``, which
+reuses this operator convention: each device folds only its local chunk and
+exchanges boundary operators with one all_gather).
 
 Scheme (work-efficient two-level):
   1. chunk-fold: reshape N operators to (K, C) chunks; a ``lax.scan`` of C

@@ -243,6 +243,13 @@ def build_block_operator(
         for sidx, didx, _ in tiers
     )
 
+    # highest state row with any nonzero band weight + 1 (static metadata:
+    # lets plan-time checks run without touching device arrays under trace)
+    band_nz_hi = 0
+    if band_w is not None:
+        nz = np.flatnonzero(band_w.any(axis=0))
+        band_nz_hi = int(nz[-1]) + 1 if len(nz) else 0
+
     op = BlockOperator(
         band_w=jnp.asarray(band_w) if band_w is not None else None,
         tiers=tuple(tiers),
@@ -250,20 +257,21 @@ def build_block_operator(
         res_dst=res_dst,
         res_w=res_w,
     )
-    return op, (band_offsets, tier_descs)
+    return op, (band_offsets, tier_descs, band_nz_hi)
 
 
 def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
     """Probability-domain y = T̂ᵀ ⊗ x (or T̂ ⊗ x for the reversed operator):
     y[j, b] = ⊕_e w[e] · x[src[e], b] over the op's edges.  x: (Sp, B).
 
-    ``meta``: (band_offsets, tier_descs) — static, from build_block_operator.
+    ``meta``: (band_offsets, tier_descs[, band_nz_hi]) — static, from
+    build_block_operator.
     ``op_kind``: 'sum' (probability semiring, MXU einsum) or 'max' (tropical
     semiring in the probability domain — max of products, which the per-frame
     rescaled Viterbi scan uses; the broadcast-multiply + max-reduce fuses in
     XLA so the (K, Sm, D, B) intermediate never hits HBM).
     """
-    band_offsets, tier_descs = meta
+    band_offsets, tier_descs = meta[0], meta[1]
     Sp, B = x.shape
     combine = jnp.maximum if op_kind == "max" else (lambda a, b: a + b)
     y = jnp.zeros_like(x)

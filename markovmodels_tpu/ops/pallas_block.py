@@ -1,0 +1,721 @@
+"""Fused Pallas forward-backward scan for the *blocked* operator.
+
+The 2M-arc regime (BASELINE headline): under ``lax.scan`` every frame
+re-streams the blocked operator (~9 MB) from HBM and moves the (Sp, B)
+state matrix (~25 MB) in and out three times per frame (forward, chunk
+recompute, backward) — ~110 MB/frame, fully HBM-bound (measured ≈0.53 s at
+B=128, N=700).  These kernels keep the operator AND the state resident in
+VMEM across frames (the same trick as ops/pallas_scan.py for dense graphs;
+reference hot-kernel analog src/linalg.jl:159-233):
+
+* ``fwd``: grid (frames,); per frame one VMEM-resident blocked matvec; HBM
+  traffic = the per-frame emission row in and one state checkpoint out
+  every ``chunk`` frames.  Compute-bound on the MXU.
+* ``recompute``: re-runs ``chunk`` forward frames from a boundary, writing
+  per-frame alphas (the only unavoidable HBM stream: the backward needs
+  them).
+* ``bwd``: reads the chunk's alphas in reverse, carries beta in VMEM,
+  emits normalized pdf posteriors per frame.
+
+State layout in VMEM is **(R, Bh, W)** — row r, batch b, column j is flat
+state r·W + j of sequence b — chosen so that
+
+* the batch rides the *sublane* axis: a 64-sequence slice is (R, 64, 384)
+  = 12 MB with zero lane padding (batch-as-lanes would pad every buffer to
+  128 lanes, which is exactly what blew VMEM in the first design);
+* the blocked operator's affine tier descriptors (ops/blocked.py) become
+  row/lane slices: a stride-W gather window is ``a3[k, :, c:c+Sm]``, a
+  stride-W scatter is a lane-slice update; both orientations of the
+  per-block MXU dot (D,Bh)/(Bh,D) fall out of operand order, no transposes;
+* band offsets are static two-slice lane shifts with row carry;
+* the pdf-grouped emission multiply is a lane-dim reshape (W % cmax == 0);
+* the extended final column (rank-1 ω split) lives in the flat tail
+  [R·W, Sp), a (Bh, tail) buffer; the matvec accumulates directly into a
+  VMEM scratch (no big value temporaries -> no register spills).
+
+Batches larger than 64 are processed in independent 64-wide slices by the
+wrapper (same compiled kernel, sequential calls).  Graphs outside this
+shape (residue edges, multiple tiers, non-affine or stride-mismatched
+descriptors) fall back to the XLA path — capability is identical, this is
+purely the fast lane.
+
+Numerics mirror inference._fb_prob exactly: probability domain, per-frame
+exact power-of-two rescaling, Kahan-compensated emission shift, identical
+posterior normalization.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["block_scan_supported", "block_fused_fb"]
+
+_PRECISIONS = {
+    "bf16": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGHEST,
+    "f32": jax.lax.Precision.HIGHEST,
+}
+_BH = 64  # batch slice per kernel call (sublane-friendly, VMEM-sized)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# static plan extraction
+# ---------------------------------------------------------------------------
+
+def _dir_plan(op, meta, W, R, cmax):
+    """Per-direction tier plan in (R, Gp, Bh, cmax) coordinates, or None.
+
+    The kernel state is 4D: row r, pdf-group g, batch b, lane c with flat
+    state r·W + g·cmax + c.  Supported tier forms (both appear in LM ∘ HMM
+    graphs), with every window aligned to pdf-group (=lane-tile) boundaries:
+    * gather 'affine_k_major' (one group row per k) + scatter
+      'affine_d_pad'/'affine_d' (one lane column per k, staged transpose);
+    * gather 'affine_s_major' (one lane column per k, staged transpose) +
+      scatter 'affine_k_pad'/'contig' (one group row per k).
+    """
+    band_offsets, tier_descs = meta[0], meta[1]
+    if op.res_src is not None or len(op.tiers) != 1:
+        return None
+    sidx, didx, Wt = op.tiers[0]
+    gdesc, ddesc = tier_descs[0]
+    K, Sm = sidx.shape
+    D = didx.shape[1]
+    plan = dict(band_offsets=tuple(band_offsets), K=K, Sm=Sm, D=D)
+    for off in band_offsets:
+        if off % cmax or abs(off) >= W:
+            return None
+
+    if gdesc[0] == "affine_k_major":
+        _, gb, dk, gc0 = gdesc
+        c = gb + gc0
+        if dk != W or c // W != 0 or (c % W) % cmax + Sm > cmax:
+            return None
+        # xg_k = a4[k, g0, :, l0 : l0+Sm]
+        plan["g"] = ("row", (c % W) // cmax, (c % W) % cmax)
+    elif gdesc[0] == "affine_s_major":
+        _, gb, ds, gc0 = gdesc
+        if (ds != W or gb % W or gb // W + Sm > R or gc0 % cmax
+                or K != cmax):
+            return None
+        # staged: t = transpose(a4[r0:r0+Sm, g0, :, :]); xg_k = t[k]
+        plan["g"] = ("col", gb // W, gc0 // cmax)
+    else:
+        return None
+
+    if ddesc[0] in ("affine_d_pad", "affine_d"):
+        base = ddesc[1]
+        dd = W if ddesc[0] == "affine_d" else ddesc[2]
+        c0 = 0 if ddesc[0] == "affine_d" else ddesc[3]
+        if dd != W or base % W or base // W + D > R or c0 % cmax or K != cmax:
+            return None
+        # staged: y4[r0:r0+D, g0, :, :] += transpose(t)
+        plan["s"] = ("col", base // W, c0 // cmax)
+    elif ddesc[0] in ("affine_k_pad", "contig"):
+        if ddesc[0] == "contig":
+            base, dk2, c02 = ddesc[1], D, 0
+        else:
+            _, base, dk2, c02 = ddesc
+        c = base + c02
+        if dk2 != W or c // W != 0 or (c % W) % cmax + D > cmax:
+            return None
+        # y4[k, g0, :, l0 : l0+D] += yk
+        plan["s"] = ("row", (c % W) // cmax, (c % W) % cmax)
+    else:
+        return None
+    return plan
+
+
+def _full_plan(cf):
+    """(W, R, plan_fwd, plan_bwd) or None."""
+    ops = (cf.block_fwd, cf.block_bwd)
+    metas = (cf.block_fwd_offsets, cf.block_bwd_offsets)
+    W = None
+    for op, meta in zip(ops, metas):
+        if op.res_src is not None or len(op.tiers) != 1:
+            return None
+        for desc in meta[1][0]:
+            if desc[0] in ("affine_k_major", "affine_s_major",
+                           "affine_k_pad", "affine_d_pad"):
+                W = desc[2]
+                break
+    if not W or W % 128:
+        return None
+    Sp = cf.padded_states
+    cmax, lim = cf.pdf_group
+    if W % cmax:
+        return None
+    K = cf.block_fwd.tiers[0][0].shape[0]
+    R = max(K, cf.block_bwd.tiers[0][0].shape[0])
+    if R * W > Sp:
+        return None
+    tail = Sp - R * W
+    fin = int(cf.final_state)
+    if fin < R * W or tail % cmax or tail <= 0 or tail % 128:
+        return None
+    pf = _dir_plan(cf.block_fwd, cf.block_fwd_offsets, W, R, cmax)
+    pb = _dir_plan(cf.block_bwd, cf.block_bwd_offsets, W, R, cmax)
+    if pf is None or pb is None:
+        return None
+    # band weights must vanish on the tail (the rank-1 ω split owns it) —
+    # checked via static build-time metadata (meta[2]), never device arrays
+    for meta in metas:
+        if len(meta) > 2 and meta[2] > R * W:
+            return None
+        if len(meta) <= 2:
+            return None  # legacy meta without the extent: fall back
+    return W, R, pf, pb
+
+
+def block_scan_supported(cf, B: int) -> bool:
+    if (
+        cf.strategy != "block"
+        or cf.batched
+        or not cf.pdf_group
+        or cf.omega_prob is None
+        or getattr(cf, "multi_pdf", False)
+    ):
+        return False
+    if B > _BH and B % _BH:
+        return False
+    cmax, lim = cf.pdf_group
+    if (cf.num_pdfs + 1) * cmax != lim:
+        return False
+    plan = _full_plan(cf)
+    if plan is None:
+        return False
+    W, R, pf, pb = plan
+    Bh = min(B, _BH)
+    state = R * W * Bh * 4
+    Wt = cf.block_fwd.tiers[0][2]
+    # two state scratches + one double-buffered stream + weights + temps
+    need = 2 * state + 2 * state + Wt.size * 4 + 1.5 * state + 4e6
+    return need <= 110 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# in-kernel pieces (state: main (R, Gp, Bh, cmax) + tail (Bh, tail))
+# ---------------------------------------------------------------------------
+
+def _tier_scratch(plan, Bh, cmax):
+    """Lane-column gathers/scatters stage through a (cmax, ·, Bh) buffer
+    (one window transpose per frame) — dynamic single-lane indexing is not
+    expressible on TPU."""
+    Sm, D = plan["Sm"], plan["D"]
+    if plan["g"][0] == "col" or plan["s"][0] == "col":
+        width = max(
+            Sm if plan["g"][0] == "col" else 0,
+            D if plan["s"][0] == "col" else 0,
+        )
+        return (cmax, width, Bh)
+    return (1, 8, Bh)
+
+
+def _make_matvec(plan, R, Gp, Bh, cmax, prec):
+    """Accumulate y = M·a into ``y4_scr`` (band + tier, main block only).
+    State refs are 4D (R, Gp, Bh, cmax); flat state r·W + g·cmax + c."""
+    offs = plan["band_offsets"]
+    K, Sm, D = plan["K"], plan["Sm"], plan["D"]
+    g, s = plan["g"], plan["s"]
+    precision = _PRECISIONS[prec]
+    RG = R * Gp
+
+    def shift_rows(a, m):
+        if m == 0:
+            return a
+        z = jnp.zeros((abs(m), Bh, cmax), jnp.float32)
+        if m > 0:
+            return jnp.concatenate([z, a[:-m]], axis=0)
+        return jnp.concatenate([a[-m:], z], axis=0)
+
+    def matvec(a4_scr, band_ref, W_ref, y4_scr, t3_scr):
+        # band: pure group-row shifts (offsets are multiples of cmax)
+        a_rg = a4_scr[:].reshape(RG, Bh, cmax)
+        y = jnp.zeros((RG, Bh, cmax), jnp.float32)
+        for oi, off in enumerate(offs):
+            y = y + band_ref[oi][:, None, :] * shift_rows(a_rg, off // cmax)
+        y4_scr[:] = y.reshape(R, Gp, Bh, cmax)
+
+        if g[0] == "col":
+            _, r0, g0 = g
+            t3_scr[:, :Sm, :] = jnp.transpose(
+                a4_scr[r0 : r0 + Sm, g0, :, :], (2, 0, 1)
+            )
+
+        def body(k, _):
+            if g[0] == "row":
+                _, g0, l0 = g
+                xg = a4_scr[pl.ds(k, 1), g0, :, l0 : l0 + Sm].reshape(
+                    Bh, Sm
+                )
+                x_cdim = 1
+            else:
+                xg = t3_scr[pl.ds(k, 1), :Sm, :].reshape(Sm, Bh)
+                x_cdim = 0
+            wk = W_ref[pl.ds(k, 1)][0]  # (Sm, D)
+            if s[0] == "col":
+                yk = jax.lax.dot_general(
+                    wk, xg, (((0,), (x_cdim,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # (D, Bh)
+                t3_scr[pl.ds(k, 1), :D, :] = yk[None, :, :]
+            else:
+                yk = jax.lax.dot_general(
+                    xg, wk, (((x_cdim,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # (Bh, D)
+                _, gs, ls = s
+                cur = y4_scr[pl.ds(k, 1), gs, :, ls : ls + D]
+                y4_scr[pl.ds(k, 1), gs, :, ls : ls + D] = (
+                    cur + yk[None, :, :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+        if s[0] == "col":
+            _, r0s, g0s = s
+            win = y4_scr[r0s : r0s + D, g0s, :, :]
+            y4_scr[r0s : r0s + D, g0s, :, :] = win + jnp.transpose(
+                t3_scr[:, :D, :], (1, 2, 0)
+            )
+
+    return matvec
+
+
+def _maxall(y4, yt):
+    return jnp.maximum(
+        jnp.max(y4, axis=(0, 1, 3)), jnp.max(yt, axis=1)
+    )  # (Bh,)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec):
+    matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec)
+
+    def step(t_is_zero, a4_scr, at_ref, band_ref, W_ref, om_ref, omt_ref,
+             em, et, y4_scr, t3_scr):
+        at = at_ref[:]
+        matvec(a4_scr, band_ref, W_ref, y4_scr, t3_scr)
+        a4 = a4_scr[:]
+        # rank-1 ω: the only arcs into the tail target the phony final state
+        yfin = jnp.sum(
+            om_ref[:].reshape(R, Gp, 1, cmax) * a4, axis=(0, 1, 3)
+        ) + jnp.sum(omt_ref[:] * at, axis=1)  # (Bh,)
+        pt_cols = [yfin[:, None]]
+        if finoff > 0:
+            pt_cols.insert(0, jnp.zeros((Bh, finoff), jnp.float32))
+        if tail - finoff - 1 > 0:
+            pt_cols.append(
+                jnp.zeros((Bh, tail - finoff - 1), jnp.float32)
+            )
+        pt = (jnp.concatenate(pt_cols, axis=1)
+              if len(pt_cols) > 1 else pt_cols[0])
+        p4 = jnp.where(t_is_zero, a4, y4_scr[:])
+        pt = jnp.where(t_is_zero, at, pt)
+        e4 = em.reshape(R, Gp, Bh)[:, :, :, None]
+        y4 = p4 * e4
+        yt = pt * et
+        m = _maxall(y4, yt)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)  # (Bh,)
+        sc = jnp.exp2(-k)
+        return (y4 * sc[None, None, :, None], yt * sc[:, None], k[None, :])
+
+    return step
+
+
+def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
+    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
+    RG = R * Gp
+
+    def kernel(band_ref, W_ref, om_ref, omt_ref, al_ref, alt_ref,
+               em_ref, et_ref, msh_ref,
+               b3_ref, bt_ref, vfin_ref, shift_ref, ksum_ref,
+               a4_scr, at_scr, y4_scr, t3_scr, sh_scr, co_scr, ks_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            a4_scr[:] = jnp.broadcast_to(
+                al_ref[:].reshape(R, Gp, 1, cmax), (R, Gp, Bh, cmax)
+            )
+            at_scr[:] = jnp.broadcast_to(alt_ref[:], (Bh, tail))
+            sh_scr[:] = jnp.zeros_like(sh_scr)
+            co_scr[:] = jnp.zeros_like(co_scr)
+            ks_scr[:] = jnp.zeros_like(ks_scr)
+
+        @pl.when(i % K_chunk == 0)
+        def _():
+            b3_ref[0] = a4_scr[:].reshape(RG, Bh, cmax)
+            bt_ref[0] = at_scr[:]
+
+        y4, yt, k = step(
+            i == 0, a4_scr, at_scr, band_ref, W_ref, om_ref, omt_ref,
+            em_ref[0], et_ref[0], y4_scr, t3_scr,
+        )
+        kt = ks_scr[:] + k
+        ks_scr[:] = kt
+        x = msh_ref[0]
+        ss = sh_scr[:]
+        c = co_scr[:]
+        xc = x - c
+        t = ss + xc
+        sh_scr[:] = t
+        co_scr[:] = (t - ss) - xc
+        a4_scr[:] = y4
+        at_scr[:] = yt
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            vfin_ref[:] = yt[:, finoff : finoff + 1]
+            shift_ref[:] = t
+            ksum_ref[:] = kt
+
+    return kernel
+
+
+def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
+    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
+    RG = R * Gp
+
+    def kernel(t0_ref, band_ref, W_ref, om_ref, omt_ref, em_ref, et_ref,
+               b3_ref, bt_ref, a3_out, at_out, a4_scr, at_scr, y4_scr,
+               t3_scr):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            a4_scr[:] = b3_ref[:].reshape(R, Gp, Bh, cmax)
+            at_scr[:] = bt_ref[:]
+
+        y4, yt, _ = step(
+            t0_ref[0] + j == 0, a4_scr, at_scr, band_ref, W_ref,
+            om_ref, omt_ref, em_ref[0], et_ref[0], y4_scr, t3_scr,
+        )
+        a4_scr[:] = y4
+        at_scr[:] = yt
+        a3_out[0] = y4.reshape(RG, Bh, cmax)
+        at_out[0] = yt
+
+    return kernel
+
+
+def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
+                     Npad, Gt):
+    matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec)
+    RG = R * Gp
+
+    def kernel(t0_ref, band_ref, W_ref, om_ref, omt_ref, em_ref, et_ref,
+               a3_ref, at_ref, bin3_ref, bint_ref,
+               posts_ref, bout3_ref, boutt_ref,
+               b4_scr, bt_scr, y4_scr, t3_scr):
+        j = pl.program_id(0)  # frame t = t0 + (K-1-j)
+
+        @pl.when(j == 0)
+        def _():
+            b4_scr[:] = bin3_ref[:].reshape(R, Gp, Bh, cmax)
+            bt_scr[:] = bint_ref[:]
+
+        bbt = bt_scr[:]
+        t = t0_ref[0] + (K_chunk - 1 - j)
+        matvec(b4_scr, band_ref, W_ref, y4_scr, t3_scr)
+        # rank-1 ω backward: y += ω · bb[fin]
+        bfin = bbt[:, finoff : finoff + 1]  # (Bh, 1)
+        y4 = y4_scr[:] + om_ref[:].reshape(R, Gp, 1, cmax) * bfin[
+            None, None, :, :
+        ]
+        yt = omt_ref[:] * bfin
+        last = t == Npad - 1
+        y4 = jnp.where(last, jnp.ones_like(y4), y4)
+        yt = jnp.where(last, jnp.ones_like(yt), yt)
+        m = _maxall(y4, yt)
+        sc = jnp.exp2(-jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0))
+        y4 = y4 * sc[None, None, :, None]
+        yt = yt * sc[:, None]
+        g4 = a3_ref[0].reshape(R, Gp, Bh, cmax) * y4
+        gt = at_ref[0] * yt
+        # pdf reduction: lane sums -> (RG, Bh) main + (Gt, Bh) tail
+        s_main = jnp.sum(g4, axis=3).reshape(RG, Bh)
+        s_tail = jnp.transpose(
+            jnp.sum(gt.reshape(Bh, Gt, cmax), axis=2), (1, 0)
+        )
+        sp = jnp.concatenate([s_main, s_tail], axis=0)  # (P1, Bh)
+        tot = jnp.sum(sp, axis=0, keepdims=True)
+        posts_ref[0] = sp / jnp.where(tot > 0, tot, 1.0)
+        e4 = em_ref[0].reshape(R, Gp, Bh)[:, :, :, None]
+        b4_scr[:] = y4 * e4
+        bt_scr[:] = yt * et_ref[0]
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            bout3_ref[:] = b4_scr[:].reshape(RG, Bh, cmax)
+            boutt_ref[:] = bt_scr[:]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def _const(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("st", "want_posts", "chunk"))
+def _run_slice(arrs, st, want_posts, chunk):
+    """One ≤64-sequence batch slice through the fused scan."""
+    (band_f, Wt_f, band_b, Wt_b, om, omt, al, alt, em, et, msh) = arrs
+    (Sp, P1, cmax, finoff, W, R, tail, plan_f, plan_b, prec) = st
+    Gp = W // cmax
+    RG = R * Gp
+    Gt = tail // cmax
+    Nf, _, Bh = em.shape
+    K = min(chunk, Nf)
+    C = -(-Nf // K)
+    Npad = C * K
+    if Npad != Nf:
+        pad = Npad - Nf
+        em = jnp.concatenate(
+            [em, jnp.zeros((pad, RG, Bh), jnp.float32)], axis=0
+        )
+        # pad frames are phony-absorb: emission 1 only on the phony pdf's
+        # slots (the LAST tail group), 0 elsewhere
+        etp = jnp.zeros((pad, Bh, tail), jnp.float32)
+        etp = etp.at[:, :, (Gt - 1) * cmax :].set(1.0)
+        et = jnp.concatenate([et, etp], axis=0)
+        msh = jnp.concatenate([msh, jnp.zeros((pad, 1, Bh), jnp.float32)], 0)
+
+    interp = _interpret()
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
+    nO = band_f.shape[0]
+    Kt, Sm, D = plan_f["K"], plan_f["Sm"], plan_f["D"]
+
+    fr3 = lambda i: (i, 0, 0)
+    fr4 = lambda i: (i, 0, 0, 0)
+
+    common = [
+        _const((nO, RG, cmax)),
+        _const((Kt, Sm, D)),
+        _const((RG, cmax)),
+        _const((1, tail)),
+    ]
+    em_spec = pl.BlockSpec((1, RG, Bh), fr3, memory_space=pltpu.VMEM)
+    et_spec = pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM)
+
+    def scr(plan):
+        return [
+            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
+            pltpu.VMEM((Bh, tail), jnp.float32),
+            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
+            pltpu.VMEM(_tier_scratch(plan, Bh, cmax), jnp.float32),
+        ]
+
+    bounds3, boundst, vfin, shift, ksum = pl.pallas_call(
+        _make_fwd_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff, K,
+                         prec),
+        grid=(Npad,),
+        in_specs=common + [
+            _const((RG, cmax)),
+            _const((1, tail)),
+            em_spec,
+            et_spec,
+            pl.BlockSpec((1, 1, Bh), fr3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RG, Bh, cmax), lambda i: (i // K, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bh, tail), lambda i: (i // K, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const((Bh, 1)),
+            _const((1, Bh)),
+            _const((1, Bh)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, RG, Bh, cmax), jnp.float32),
+            jax.ShapeDtypeStruct((C, Bh, tail), jnp.float32),
+            jax.ShapeDtypeStruct((Bh, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
+        ],
+        scratch_shapes=scr(plan_f) + [
+            pltpu.VMEM((1, Bh), jnp.float32),
+            pltpu.VMEM((1, Bh), jnp.float32),
+            pltpu.VMEM((1, Bh), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interp,
+    )(band_f, Wt_f, om, omt, al, alt, em, et, msh)
+
+    if not want_posts:
+        return None, vfin[:, 0], shift[0], ksum[0]
+
+    em_cm = em.reshape(C, K, RG, Bh)
+    et_cm = et.reshape(C, K, Bh, tail)
+
+    recompute = pl.pallas_call(
+        _make_recompute_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff,
+                               prec),
+        grid=(K,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + common + [
+            em_spec,
+            et_spec,
+            _const((RG, Bh, cmax)),
+            _const((Bh, tail)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RG, Bh, cmax), fr4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, RG, Bh, cmax), jnp.float32),
+            jax.ShapeDtypeStruct((K, Bh, tail), jnp.float32),
+        ],
+        scratch_shapes=scr(plan_f),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    rev4 = lambda i: (K - 1 - i, 0, 0, 0)
+    rev3 = lambda i: (K - 1 - i, 0, 0)
+    bwd = pl.pallas_call(
+        _make_bwd_kernel(dict(plan_b), R, Gp, Bh, cmax, tail, finoff, K,
+                         prec, Npad, Gt),
+        grid=(K,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+            _const((nO, RG, cmax)),
+            _const((Kt, Sm, D)),
+            _const((RG, cmax)),
+            _const((1, tail)),
+            pl.BlockSpec((1, RG, Bh), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bh, tail), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RG, Bh, cmax), rev4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bh, tail), rev3, memory_space=pltpu.VMEM),
+            _const((RG, Bh, cmax)),
+            _const((Bh, tail)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P1, Bh), rev3, memory_space=pltpu.VMEM),
+            _const((RG, Bh, cmax)),
+            _const((Bh, tail)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, P1, Bh), jnp.float32),
+            jax.ShapeDtypeStruct((RG, Bh, cmax), jnp.float32),
+            jax.ShapeDtypeStruct((Bh, tail), jnp.float32),
+        ],
+        scratch_shapes=scr(plan_b),
+        compiler_params=cparams,
+        interpret=interp,
+    )
+
+    def chunk_step(carry, inp):
+        bb3, bbt = carry
+        c, bound3_c, boundt_c, em_c, et_c = inp
+        t0 = (c * K).astype(jnp.int32)[None]
+        A3, At = recompute(t0, band_f, Wt_f, om, omt, em_c, et_c,
+                           bound3_c, boundt_c)
+        posts_c, bb3, bbt = bwd(t0, band_b, Wt_b, om, omt, em_c, et_c,
+                                A3, At, bb3, bbt)
+        return (bb3, bbt), posts_c
+
+    binit = (
+        jnp.ones((RG, Bh, cmax), jnp.float32),
+        jnp.ones((Bh, tail), jnp.float32),
+    )
+    _, posts = lax.scan(
+        chunk_step,
+        binit,
+        (jnp.arange(C), bounds3, boundst, em_cm, et_cm),
+        reverse=True,
+    )
+    posts = posts.reshape(Npad, P1, Bh)
+    return posts, vfin[:, 0], shift[0], ksum[0]
+
+
+def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
+    """Run the fused blocked scan.  ``ext``/``mshift`` from
+    ops.pallas_scan.prepare_emissions ((Nf, P1, B) / (Nf, 1, B)).  Returns
+    (posts (Npad, P1, B) or None, v_final (B,), shift (B,), ksum (B,)):
+    logZ = log(v_final) + ksum·ln2 + shift."""
+    W, R, plan_f, plan_b = _full_plan(cf)
+    Sp = cf.padded_states
+    tail = Sp - R * W
+    fin = int(cf.final_state)
+    cmax, lim = cf.pdf_group
+    Gp = W // cmax
+    RG = R * Gp
+    Gt = tail // cmax
+    Nf, P1, B = ext.shape
+    Bh = min(B, _BH)
+
+    st = (
+        Sp, P1, cmax, fin - R * W, W, R, tail,
+        _Frozen(plan_f), _Frozen(plan_b), cf.precision,
+    )
+    a0 = jnp.exp(cf.alpha_hat).astype(jnp.float32)
+    al = a0[: R * W].reshape(RG, cmax)
+    alt = a0[R * W :][None, :]  # (1, tail)
+
+    def band(op):
+        if op.band_w is None:
+            return jnp.zeros((1, RG, cmax), jnp.float32)
+        return op.band_w[:, : R * W].reshape(-1, RG, cmax)
+
+    om = cf.omega_prob[: R * W].reshape(RG, cmax)
+    omt = cf.omega_prob[R * W :][None, :]
+
+    # emission layout transforms (XLA, cheap): (Nf, P1, B) ->
+    # em (Nf, RG, B) per main pdf group, et (Nf, B, tail) per tail slot
+    em = ext[:, :RG, :]
+    et = jnp.transpose(
+        jnp.repeat(ext[:, RG : RG + Gt, :], cmax, axis=1), (0, 2, 1)
+    )
+
+    posts_all, vfin_all, shift_all, ksum_all = [], [], [], []
+    for b0 in range(0, B, Bh):
+        sl = slice(b0, b0 + Bh)
+        arrs = (
+            band(cf.block_fwd), cf.block_fwd.tiers[0][2],
+            band(cf.block_bwd), cf.block_bwd.tiers[0][2],
+            om, omt, al, alt,
+            em[:, :, sl], et[:, sl, :], mshift[:, :, sl],
+        )
+        posts, vfin, shift, ksum = _run_slice(arrs, st, want_posts, chunk)
+        posts_all.append(posts)
+        vfin_all.append(vfin)
+        shift_all.append(shift)
+        ksum_all.append(ksum)
+
+    vfin = jnp.concatenate(vfin_all)
+    shift = jnp.concatenate(shift_all)
+    ksum = jnp.concatenate(ksum_all)
+    if not want_posts:
+        return None, vfin, shift, ksum
+    posts = jnp.concatenate(posts_all, axis=2)  # (Npad, P1, B)
+    return posts, vfin, shift, ksum
+
+
+class _Frozen(dict):
+    """Hashable static plan dict for jit static args."""
+
+    def __hash__(self):
+        return hash(
+            tuple(sorted((k, tuple(v) if isinstance(v, tuple) else v)
+                         for k, v in self.items()))
+        )

@@ -1,0 +1,150 @@
+"""Time-axis sharding of the forward recursion (temporal parallelism).
+
+The reference's recursion is strictly sequential over frames
+(reference src/inference.jl:69-73; SURVEY §5.7).  ``ops/assoc_scan`` breaks
+that dependency on ONE device via ``lax.associative_scan``; this module is
+the multi-device form — the HMM analog of ring-attention/context
+parallelism: the frame sequence is sharded over a mesh axis, every device
+**folds its local chunk** of per-frame operators into a single (S, S)
+boundary operator in parallel, the D chunk operators are exchanged with one
+all_gather over ICI, and the (cheap, D-step) cross-device product yields the
+final state.  Wall-clock depth drops from O(N) matvecs to
+O(N/D) matmuls + O(D).
+
+Like the single-device associative scan this trades FLOPs for depth
+(matmuls S³ replace matvecs S²), so it targets long sequences over *small*
+graphs — per-utterance numerator/alignment lattices — not the 2M-arc
+denominator (which scales by state sharding instead, parallel/sharded.py).
+
+Operator convention (ops/assoc_scan.py): M_t = diag(e_t)·A for t ≥ 1 and
+M_0 = diag(e_0), so v_final = (Π_t M_t) · exp(α̂) and every device can build
+its operators locally — no boundary *state* is needed, only the folded
+boundary *operators* cross devices.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..inference import CompiledFSM, _combine_shift
+from ..ops.assoc_scan import dense_prob_operator
+from ..ops import semiring_ops as sops
+
+__all__ = ["timesharded_forward"]
+
+NEG_INF = float("-inf")
+
+
+def timesharded_forward(
+    cf: CompiledFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+):
+    """Log-marginal logZ (B,) with the frame axis sharded over
+    ``time_axis``.  Requires a 'dense'-strategy CompiledFSM (the fold is a
+    dense operator product).  Matches ``inference.forward`` to f32
+    round-off; exact for ragged ``lengths`` (frames past a sequence's end
+    contribute identity/phony-absorb operators).
+    """
+    lhs = jnp.asarray(lhs)
+    B, N, Pn = lhs.shape
+    if Pn != cf.num_pdfs:
+        raise ValueError(f"lhs has {Pn} pdfs, graph expects {cf.num_pdfs}")
+    if lengths is None:
+        lengths = jnp.full((B,), N)
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), N)
+
+    D = mesh.shape[time_axis]
+    Sp = cf.padded_states
+    A = dense_prob_operator(cf)
+    prec = sops._PRECISIONS[cf.precision]
+    Nf = N + 1
+    L = -(-Nf // D)
+    Npad = L * D
+
+    # (Npad, B, P): frames beyond Nf are inactive (phony absorb)
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
+    is_ph = (jnp.arange(Sp) == cf.final_state).astype(lhs.dtype)
+    P1 = cf.num_pdfs + 1
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def fold_local(lhs_l, lengths_l, alpha_hat):
+        """Fold this device's frames; returns the global product applied
+        lazily: (total operator (B, Sp, Sp) replicated result pieces)."""
+        d = lax.axis_index(time_axis)
+        Ll = lhs_l.shape[0]
+        ts = d * Ll + jnp.arange(Ll, dtype=jnp.int32)  # global frame ids
+
+        def emissions(lhs_t, t):
+            active = t < lengths_l  # (B,)
+            m_l = jnp.max(lhs_t, axis=1)
+            el = jnp.exp(lhs_t - m_l[:, None])  # (B, P)
+            ext = jnp.concatenate(
+                [el * active[:, None], jnp.zeros((B, 1), lhs_t.dtype)], axis=1
+            )  # (B, P1)
+            e = ext[:, cf.state_pdf.clip(0, P1 - 1)]  # (B, Sp)
+            e = jnp.where(
+                active[:, None], e, is_ph[None, :]
+            )
+            return e, jnp.where(active, m_l, 0.0)
+
+        def fold_step(carry, inp):
+            M, shift = carry  # (B, Sp, Sp), (B,)
+            lhs_t, t = inp
+            e, m_l = emissions(lhs_t, t)
+            # M_t = diag(e_t) · (A if t > 0 else I); fold M <- M_t @ M
+            MA = jnp.einsum(
+                "ij,bjl->bil", A, M,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            MA = jnp.where(t == 0, M, MA)
+            Mn = e[:, :, None] * MA
+            m = jnp.max(Mn, axis=(1, 2))
+            ms = jnp.where(m > 0, m, 1.0)
+            return (Mn / ms[:, None, None],
+                    shift + jnp.where(m > 0, jnp.log(ms), 0.0) + m_l), None
+
+        M0 = jnp.broadcast_to(jnp.eye(Sp, dtype=lhs_l.dtype), (B, Sp, Sp))
+        (Mc, shiftc), _ = lax.scan(
+            fold_step, (M0, jnp.zeros(B, lhs_l.dtype)), (lhs_l, ts)
+        )
+
+        # exchange boundary operators: one all_gather over ICI
+        Ms = lax.all_gather(Mc, time_axis)  # (D, B, Sp, Sp)
+        shifts = lax.all_gather(shiftc, time_axis)  # (D, B)
+
+        def cross(carry, Md):
+            v = jnp.einsum(
+                "bij,bj->bi", Md, carry,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            m = jnp.max(v, axis=1)
+            ms = jnp.where(m > 0, m, 1.0)
+            return v / ms[:, None], jnp.where(m > 0, jnp.log(ms), 0.0)
+
+        v = jnp.broadcast_to(jnp.exp(alpha_hat)[None, :], (B, Sp))
+        total = jnp.zeros(B, lhs_l.dtype)
+        for dd in range(D):
+            v, sh = cross(v, Ms[dd])
+            total = total + sh
+        val = v[:, cf.final_state]
+        logZ = jnp.where(
+            val > 0, jnp.log(jnp.maximum(val, 1e-38)), NEG_INF
+        ) + total + jnp.sum(shifts, axis=0)
+        return logZ, val
+
+    logZ, _ = fold_local(lhs_tm, lengths, cf.alpha_hat)
+    return logZ

@@ -10,13 +10,23 @@ with the same associative ⊕-merge reduction), then the denominator graph
 Run:  python -m markovmodels_tpu.pipeline.prepare_lfmmi_graphs config.toml
 Config sections match the reference (data: units/lexicon/traintext/devtext;
 supervision: topo/folder/silprobs/ngram_order).
+
+Restartability (reference examples/prepare-lfmmi-graphs.jl:122-132 keeps
+per-utterance artifacts; this pipeline goes further): every utterance's
+graph, state map AND n-gram stats are serialized individually, so a re-run
+skips finished utterances entirely (loading only their cached stats) and
+rewrites complete manifests at the end.  Progress is logged to stderr
+(the reference uses @info + ProgressMeter).
 """
 from __future__ import annotations
 
 import json
+import logging
 import multiprocessing as mp
 import os
+import pickle
 import sys
+import time
 
 import numpy as np
 
@@ -45,12 +55,25 @@ def _init_worker(lexicon, hmms, numpdf, folder, silcfg, ngram_order):
 
 def _process_utterance(line: str):
     """Build and serialize one utterance's numerator graph; return
-    (uttid, fsm_path, smap_path, ngram stats)."""
+    (uttid, fsm_path, smap_path, ngram stats, skipped).  A re-run skips
+    utterances whose three artifacts already exist, loading the cached
+    n-gram stats."""
     c = _WORKER_CTX
     tokens = line.split()
     if len(tokens) < 2:
         return None
     uttid, seq = tokens[0], tokens[1:]
+    fsm_path = os.path.join(c["folder"], uttid + ".fsm.json")
+    smap_path = os.path.join(c["folder"], uttid + ".smap.npy")
+    ng_path = os.path.join(c["folder"], uttid + ".ngrams.pkl")
+    if all(os.path.exists(p) for p in (fsm_path, smap_path, ng_path)):
+        try:
+            with open(ng_path, "rb") as f:
+                ngrams = pickle.load(f)
+            return uttid, fsm_path, smap_path, ngrams, True
+        except Exception:
+            pass  # corrupt cache: rebuild
+
     lexicon = c["lexicon"]
     seq = [s if Label(s) in lexicon else "<unk>" for s in seq]
 
@@ -58,14 +81,16 @@ def _process_utterance(line: str):
     GL = fsmops.compose(G, lexicon)
     GLH = fsmops.compose(GL, c["hmms"])
 
-    fsm_path = os.path.join(c["folder"], uttid + ".fsm.json")
     with open(fsm_path, "w") as f:
         f.write(to_json(GLH))
-    smap_path = os.path.join(c["folder"], uttid + ".smap.npy")
     np.save(smap_path, statemap(GLH, c["numpdf"]))
 
     ngrams = totalngramsum(GL, order=c["ngram_order"])
-    return uttid, fsm_path, smap_path, ngrams
+    # write the stats cache last: its presence marks the utterance done
+    with open(ng_path + ".tmp", "wb") as f:
+        pickle.dump(ngrams, f)
+    os.replace(ng_path + ".tmp", ng_path)
+    return uttid, fsm_path, smap_path, ngrams, False
 
 
 def make_numerator_graphs(
@@ -92,21 +117,38 @@ def make_numerator_graphs(
         lines = [l.strip() for l in f if l.strip()]
 
     args = (lexicon, hmms, numpdf, folder, silcfg, ngram_order)
-    if num_workers and num_workers > 1:
-        with mp.Pool(num_workers, initializer=_init_worker, initargs=args) as pool:
-            results = pool.map(_process_utterance, lines, chunksize=8)
-    else:
-        _init_worker(*args)
-        results = [_process_utterance(l) for l in lines]
+    log = logging.getLogger("markovmodels_tpu.pipeline")
+    total = len(lines)
+    every = max(1, total // 20)
+    t0 = time.time()
+
+    def iter_results():
+        if num_workers and num_workers > 1:
+            with mp.Pool(
+                num_workers, initializer=_init_worker, initargs=args
+            ) as pool:
+                yield from pool.imap(_process_utterance, lines, chunksize=8)
+        else:
+            _init_worker(*args)
+            for l in lines:
+                yield _process_utterance(l)
 
     ngrams: dict = {}
+    done = skipped = 0
     with open(os.path.join(folder, "fsm.scp"), "w") as fscp, open(
         os.path.join(folder, "smap.scp"), "w"
     ) as sscp:
-        for r in results:
+        for r in iter_results():
+            done += 1
+            if done % every == 0 or done == total:
+                log.info(
+                    "numerator graphs %s: %d/%d (%d skipped, %.1fs)",
+                    folder, done, total, skipped, time.time() - t0,
+                )
             if r is None:
                 continue
-            uttid, fsm_path, smap_path, ng = r
+            uttid, fsm_path, smap_path, ng, was_skipped = r
+            skipped += was_skipped
             print(uttid, fsm_path, file=fscp)
             print(uttid, smap_path, file=sscp)
             ngrams = merge_ngrams(ngrams, ng, LOG)
@@ -160,6 +202,11 @@ def run_pipeline(config: dict, num_workers: int = 0):
 def main(argv=None):
     import tomllib
 
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
     argv = argv if argv is not None else sys.argv[1:]
     cfg_path = argv[0] if argv else os.environ.get("CONFIG")
     if not cfg_path:

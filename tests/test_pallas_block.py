@@ -1,0 +1,79 @@
+"""Parity tests for the fused blocked Pallas scan (ops/pallas_block.py).
+
+Runs the exact kernel bodies in Pallas interpret mode on CPU
+(MMTPU_PALLAS_INTERPRET) against the XLA block path (inference._fb_prob),
+on the V=128 trigram LM ∘ HMM workload whose operator exercises the affine
+tier descriptors (band + affine_k_major/affine_d_pad fwd,
+affine_s_major/affine_k_pad bwd).  Frame count is kept tiny — interpret
+mode executes the kernels in Python.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from markovmodels_tpu import inference as inf
+from markovmodels_tpu.ops import pallas_block as pb
+from markovmodels_tpu.workloads import make_lm_hmm_graph
+
+
+@pytest.fixture(scope="module")
+def graph():
+    fsm, spdf, P, info = make_lm_hmm_graph(V=128)
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block")
+    return cf, P
+
+
+@pytest.fixture
+def pallas_on(monkeypatch):
+    monkeypatch.setenv("MMTPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("MMTPU_NO_PALLAS", raising=False)
+
+
+def test_supported_and_plans(graph):
+    cf, P = graph
+    assert pb.block_scan_supported(cf, 8)
+    W, R, pf, pb_ = pb._full_plan(cf)
+    assert W == 384 and R == 128
+    assert pf["g"][0] == "row" and pf["s"][0] == "col"
+    assert pb_["g"][0] == "col" and pb_["s"][0] == "row"
+
+
+def test_fused_block_matches_xla_path(graph, pallas_on, monkeypatch):
+    """posts + logZ parity vs the lax.scan block path, ragged lengths
+    (incl. an infeasible L=1 sequence -> logZ = -inf on both paths) and a
+    chunk boundary in the middle of the sequence."""
+    cf, P = graph
+    B, N = 8, 4
+    rng = np.random.default_rng(7)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([4, 3, 4, 1, 3, 4, 4, 3], dtype=jnp.int32)
+
+    assert inf._pallas_block_ok(cf, lhs)
+    p1, z1 = inf.pdfposteriors(cf, lhs, lens, chunk_size=2)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    p0, z0 = inf.pdfposteriors(cf, lhs, lens, chunk_size=2)
+
+    z0, z1 = np.asarray(z0), np.asarray(z1)
+    fin = np.isfinite(z0)
+    assert (np.isfinite(z1) == fin).all()
+    np.testing.assert_allclose(z1[fin], z0[fin], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
+    # posteriors exactly zero past each length
+    for b in range(B):
+        assert np.all(np.asarray(p1)[b, int(lens[b]):] == 0.0)
+
+
+def test_fused_block_forward_only(graph, pallas_on):
+    cf, P = graph
+    B, N = 8, 3
+    rng = np.random.default_rng(9)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    z1 = inf.forward(cf, lhs, chunk_size=2)
+    import os
+    os.environ["MMTPU_NO_PALLAS"] = "1"
+    try:
+        z0 = inf.forward(cf, lhs, chunk_size=2)
+    finally:
+        del os.environ["MMTPU_NO_PALLAS"]
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-5)

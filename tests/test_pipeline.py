@@ -103,6 +103,47 @@ def test_full_pipeline_and_scoring(corpus):
     np.testing.assert_allclose(np.asarray(posts[0]).sum(-1), 1.0, atol=1e-4)
 
 
+def test_pipeline_restart_skips_done_utterances(corpus, caplog):
+    """Re-running the pipeline skips already-serialized utterances (loading
+    their cached n-gram stats) and produces identical outputs — the
+    reference's restartable per-utterance design
+    (prepare-lfmmi-graphs.jl:122-132), plus progress logging."""
+    import logging
+
+    cfg = {
+        "data": {
+            "units": str(corpus / "units"),
+            "lexicon": str(corpus / "lexicon"),
+            "traintext": str(corpus / "train.txt"),
+        },
+        "supervision": {
+            "topo": str(corpus / "topo.json"),
+            "folder": str(corpus / "out"),
+            "ngram_order": 2,
+        },
+    }
+    run_pipeline(cfg, num_workers=1)
+    out = corpus / "out"
+    den1 = (out / "denominator.fsm.json").read_text()
+    scp1 = (out / "numfsms" / "train" / "fsm.scp").read_text()
+    fsm1 = (out / "numfsms" / "train" / "utt2.fsm.json").read_text()
+    mtime1 = os.path.getmtime(out / "numfsms" / "train" / "utt2.fsm.json")
+
+    # delete one utterance's artifacts: only it should be rebuilt
+    for suffix in (".fsm.json", ".smap.npy", ".ngrams.pkl"):
+        os.remove(out / "numfsms" / "train" / ("utt1" + suffix))
+
+    with caplog.at_level(logging.INFO, "markovmodels_tpu.pipeline"):
+        run_pipeline(cfg, num_workers=1)
+    assert any("skipped" in r.message for r in caplog.records)
+    assert (out / "numfsms" / "train" / "utt1.fsm.json").exists()
+    # untouched utterance was not rebuilt; outputs identical
+    assert os.path.getmtime(out / "numfsms" / "train" / "utt2.fsm.json") == mtime1
+    assert (out / "numfsms" / "train" / "utt2.fsm.json").read_text() == fsm1
+    assert (out / "numfsms" / "train" / "fsm.scp").read_text() == scp1
+    assert (out / "denominator.fsm.json").read_text() == den1
+
+
 def test_linear_fsm_silence_variants():
     f = LinearFSM(mm.LOG, ["a", "b"], init_silprob=0.3, silprob=0.2,
                   final_silprob=0.4)

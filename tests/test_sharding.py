@@ -116,6 +116,58 @@ def test_sharded_viterbi_exact(graph):
     np.testing.assert_array_equal(np.asarray(states), np.asarray(ref_states))
 
 
+def test_sharded_prob_halo_matches_single_device(graph):
+    """The fast sharded path (prob domain + static halo exchange) matches
+    the single-device recursion; the halo is smaller than the full state."""
+    from markovmodels_tpu.parallel.sharded import (
+        shard_compiled_prob,
+        sharded_pdfposteriors_prob,
+    )
+
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(28)
+    B, N = 8, 21
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([21, 9, 15, 21, 4, 18, 21, 12], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    ref_posts, ref_logZ = inf.pdfposteriors(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths), chunk_size=8
+    )
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled_prob(fsm, state_pdf, P, num_shards=4)
+    # the halo (rows actually exchanged) must be below the full state range
+    assert sf.fwd_halo < sf.local_states * sf.num_shards
+    posts, logZ = sharded_pdfposteriors_prob(
+        sf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh, chunk_size=8
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts), atol=1e-5)
+
+
+def test_timesharded_forward_matches(graph):
+    """Temporal parallelism (SURVEY §5.7): frame axis sharded over 8
+    devices, chunk operators folded locally + one all_gather — logZ must
+    match the sequential scan (ragged lengths included)."""
+    from markovmodels_tpu.parallel.timeshard import timesharded_forward
+
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(27)
+    B, N = 3, 29
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([29, 13, 22], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="dense")
+    ref = inf.forward(cf, jnp.asarray(lhs), jnp.asarray(lengths))
+
+    mesh = make_mesh({"time": 8})
+    logZ = timesharded_forward(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref), atol=5e-4)
+
+
 def test_data_parallel_jit(graph):
     """Replicated graph + batch sharded over the data axis under plain jit
     (GSPMD handles the rest)."""
