@@ -72,6 +72,9 @@ def _gather_desc(idx: np.ndarray, limit: int):
     v5e).  Returns one of:
       ('affine_k_major', base, dk, col0)  view (K, dk)[:, col0:col0+Sm]
       ('affine_s_major', base, ds, col0)  view (Sm, ds)[:, col0:col0+K] swap
+      ('diag', base, dm)                  K == 1, arbitrary stride: strided
+                                          single-row gather (e.g. a backoff
+                                          LM's diagonal context states)
       ('gather',)
     """
     p = _affine_params(idx)
@@ -86,6 +89,8 @@ def _gather_desc(idx: np.ndarray, limit: int):
             w = _window(base, Sm, dm, K, limit)
             if w is not None:
                 return ("affine_s_major", w[0], dm, w[1])
+        if K == 1 and dm > 1 and base >= 0 and base + (Sm - 1) * dm < limit:
+            return ("diag", base, dm)
     return ("gather",)
 
 
@@ -98,6 +103,8 @@ def _scatter_desc(idx: np.ndarray, limit: int):
                                         row-chunks: view (K, dk)[:, col0:+D]
       ('affine_d_pad', base, dd, col0)  idx affine w/ dd > K -> transposed
                                         strided row-chunks: view (D, dd)[:, col0:+K]
+      ('diag', base, dd)                K == 1, arbitrary stride: strided
+                                        single-row scatter
       ('scatter',)
     """
     p = _affine_params(idx)
@@ -116,6 +123,8 @@ def _scatter_desc(idx: np.ndarray, limit: int):
             w = _window(base, D, dd, K, limit)
             if w is not None:
                 return ("affine_d_pad", w[0], dd, w[1])
+        if K == 1 and dd > 1 and base >= 0 and base + (D - 1) * dd < limit:
+            return ("diag", base, dd)
     return ("scatter",)
 
 
@@ -164,6 +173,24 @@ def build_block_operator(
     src, dst, w = src[~in_band], dst[~in_band], w[~in_band]
 
     # --- blocked part ---------------------------------------------------
+    def pad_unique(u, size):
+        """Pad a sorted unique index list to ``size`` entries.  When the
+        list is affine, the padding continues the stride (weights stay zero,
+        so the extra slots are no-ops) — this keeps near-affine blocks on
+        the affine fast path (e.g. pruned LM rows whose surviving successor
+        sets are subsets of a strided grid).  Falls back to zero padding
+        (which demotes the tier to the generic gather/scatter path)."""
+        out = np.zeros(size, dtype=np.int64)
+        out[: len(u)] = u
+        pad = size - len(u)
+        if pad and len(u) >= 2:
+            d = np.diff(u)
+            if (d == d[0]).all() and d[0] > 0:
+                ext = u[-1] + d[0] * np.arange(1, pad + 1)
+                if ext[-1] < Sp:
+                    out[len(u):] = ext
+        return out
+
     def group(src, dst, w, by):
         """Tile edges into 128-wide blocks along ``by`` ('dst' grouped:
         dense (tier_srcs x block) panels; 'src' grouped: (block x tier_dsts)).
@@ -190,44 +217,109 @@ def build_block_operator(
                 continue
             pos = np.searchsorted(uoth, oo[lo:hi])
             inblk = (key[order][lo:hi] - b * block).astype(np.int64)
+            upad = pad_unique(uoth, tier)
             if by == "dst":
                 W = np.zeros((tier, block), dtype=dtype)
                 W[pos, inblk] = ww[lo:hi]
-                sidx = np.zeros(tier, dtype=np.int32)
-                sidx[: len(uoth)] = uoth
+                sidx = upad.astype(np.int32)
                 didx = (b * block + np.arange(block)).astype(np.int32)
             else:
                 W = np.zeros((block, tier), dtype=dtype)
                 W[inblk, pos] = ww[lo:hi]
                 sidx = (b * block + np.arange(block)).astype(np.int32)
-                didx = np.zeros(tier, dtype=np.int32)
-                didx[: len(uoth)] = uoth
+                didx = upad.astype(np.int32)
             acc[tier].append((sidx, didx, W))
         return acc, over
 
-    tiers = []
+    def stack_tiers(accs):
+        out = []
+        for acc in accs:
+            for t, items in acc.items():
+                if not items:
+                    continue
+                out.append(
+                    (
+                        np.stack([x[0] for x in items]),
+                        np.stack([x[1] for x in items]),
+                        np.stack([x[2] for x in items]),
+                    )
+                )
+        return out
+
+    def all_affine(ts):
+        return all(
+            _gather_desc(sidx, Sp)[0] != "gather"
+            and _scatter_desc(didx, Sp)[0] != "scatter"
+            for sidx, didx, _ in ts
+        )
+
+    def majority_lane_split(esrc, edst, ew):
+        """Split edges into (majority, rest): per source block, edges whose
+        destination lane (dst % block) is the block's modal lane.  Mixed
+        structural families (e.g. a backoff LM's context arcs riding lane b
+        of every successor group, plus its backoff-to-backoff diagonal)
+        destroy each other's affine patterns when grouped together; the
+        modal lane class isolates the dominant family."""
+        blk = esrc // block
+        lane = edst % block
+        pair = blk * block + lane
+        up, cnt = np.unique(pair, return_counts=True)
+        ub = up // block
+        # modal lane per block
+        order = np.lexsort((-cnt, ub))
+        first = np.searchsorted(ub[order], np.unique(ub))
+        modal = {int(ub[order][f]): int(up[order][f] % block) for f in first}
+        maj = np.array([lane[i] == modal[int(blk[i])] for i in range(len(esrc))])
+        return maj
+
+    def dense_pool(esrc, edst, ew, max_side=512):
+        """Collapse a small leftover edge family into one dense
+        (1, Su, Du) tier (gather all unique sources once, one matmul, one
+        scatter).  Returns the tier or None."""
+        us = np.unique(esrc)
+        ud = np.unique(edst)
+        if len(us) > max_side or len(ud) > max_side:
+            return None
+        ps = np.searchsorted(us, esrc)
+        pd = np.searchsorted(ud, edst)
+        W = np.zeros((1, len(us), len(ud)), dtype=dtype)
+        W[0, ps, pd] = ew
+        return (
+            us[None, :].astype(np.int32),
+            ud[None, :].astype(np.int32),
+            W,
+        )
+
+    tiers_np = []
     res = []
     if len(src):
         acc_d, over = group(src, dst, w, "dst")
+        tiers_np = stack_tiers([acc_d])
         if over:
             osrc = np.concatenate([o[0] for o in over])
             odst = np.concatenate([o[1] for o in over])
             ow = np.concatenate([o[2] for o in over])
             acc_s, over2 = group(osrc, odst, ow, "src")
+            src_tiers = stack_tiers([acc_s])
+            if not (all_affine(src_tiers) and not over2):
+                # retry with the modal-lane family split
+                maj = majority_lane_split(osrc, odst, ow)
+                if maj.any() and not maj.all():
+                    acc_m, over_m = group(osrc[maj], odst[maj], ow[maj],
+                                          "src")
+                    maj_tiers = stack_tiers([acc_m])
+                    rest = (osrc[~maj], odst[~maj], ow[~maj])
+                    pool = dense_pool(*rest)
+                    if all_affine(maj_tiers) and not over_m and pool is not None:
+                        src_tiers = maj_tiers + [pool]
+                        over2 = []
+            tiers_np.extend(src_tiers)
             res = over2
-        else:
-            acc_s = {}
-        for acc in (acc_d, acc_s):
-            for t, items in acc.items():
-                if not items:
-                    continue
-                tiers.append(
-                    (
-                        jnp.asarray(np.stack([x[0] for x in items])),
-                        jnp.asarray(np.stack([x[1] for x in items])),
-                        jnp.asarray(np.stack([x[2] for x in items])),
-                    )
-                )
+
+    tiers = [
+        (jnp.asarray(s_), jnp.asarray(d_), jnp.asarray(W_))
+        for s_, d_, W_ in tiers_np
+    ]
 
     res_src = res_dst = res_w = None
     if res:

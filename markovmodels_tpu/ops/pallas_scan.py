@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "pallas_scan_supported",
     "prepare_emissions",
+    "pad_emissions",
     "fused_forward",
     "fused_backward",
 ]
@@ -106,6 +107,24 @@ def prepare_emissions(lhs, lengths, num_pdfs: int):
     # (Nf, 1, B): TPU block shapes need the trailing two dims to cover the
     # array, so the per-frame shift is streamed as a (1, 1, B) block
     return ext.astype(jnp.float32), mshift.astype(jnp.float32)[:, None, :]
+
+
+def pad_emissions(ext, mshift, n_total: int):
+    """Extend prepare_emissions outputs to ``n_total`` frames with
+    phony-absorb pad frames (emission 1 on the phony pdf row, 0 elsewhere,
+    zero shift) — the same semantics every frame past a sequence's length
+    already has, so chunked kernels can assume a frame count that is a
+    multiple of the chunk size."""
+    Nf, P1, B = ext.shape
+    pad = n_total - Nf
+    if pad <= 0:
+        return ext, mshift
+    extp = jnp.zeros((pad, P1, B), ext.dtype).at[:, P1 - 1, :].set(1.0)
+    mshp = jnp.zeros((pad, 1, B), mshift.dtype)
+    return (
+        jnp.concatenate([ext, extp], axis=0),
+        jnp.concatenate([mshift, mshp], axis=0),
+    )
 
 
 def _make_fwd_kernel(prec: str):

@@ -133,10 +133,33 @@ def _trop_prob_matvec(cf: CompiledFSM):
 _FULL_MEM_BYTES = 4 << 30
 
 
+def _fused_vit_ok(cf: CompiledFSM, lhs) -> bool:
+    """True when the fused tropical Pallas scan (ops/pallas_block.py,
+    op_kind='max') can run the forward + chunk-recompute passes."""
+    import os
+
+    if os.environ.get("MMTPU_NO_PALLAS"):
+        return False
+    if cf.strategy != "block":
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "MMTPU_PALLAS_INTERPRET"
+    ):
+        return False
+    from .ops import pallas_block as pb
+
+    return pb.block_scan_supported(cf, lhs.shape[0])
+
+
 def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     """Backpointer-free Viterbi for 'dense'/'block' graphs (module
     docstring).  Returns (states (B, N) int32 in compiled numbering,
-    score (B,))."""
+    score (B,)).
+
+    When the fused blocked Pallas scan supports the graph, the forward pass
+    and the per-chunk alpha recompute run as max-mode fused kernels (the
+    operator and state stay VMEM-resident across frames); only the
+    per-frame argmax walk — a (B, D_in) gather — stays in XLA."""
     B, N, P = lhs.shape
     Sp = cf.padded_states
     Nf = N + 1
@@ -152,8 +175,9 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
+    use_fused = _fused_vit_ok(cf, lhs)
     eprob = _make_eprob(cf, lengths)
-    mv = _trop_prob_matvec(cf)
+    mv = _trop_prob_matvec(cf) if not use_fused else None
 
     # incoming-arc CSR pointers over the dst-sorted fwd edge arrays (host
     # side; cf must be concrete — close over the graph when jitting).
@@ -186,32 +210,45 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
         lhs.dtype
     )
 
-    def fstep(carry, inp):
-        a, ksum, shift, comp = carry
-        lhs_t, t = inp
-        p = jnp.where(t == 0, a, mv(a))
-        e, m_l = eprob(lhs_t, t)
-        y = p * e
-        m = jnp.max(y, axis=0)
-        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
-        y = y * jnp.exp2(-k)[None, :]
-        shift, comp = _kahan_add(shift, comp, m_l)
-        return (y, ksum + k, shift, comp), None
-
-    def fstep_save(carry, inp):
-        new_carry, _ = fstep(carry, inp)
-        return new_carry, new_carry[0]
-
-    def chunk_fwd(carry, inp):
-        boundary = carry[0]
-        new_carry, _ = lax.scan(fstep, carry, inp)
-        return new_carry, boundary
-
     zero = jnp.zeros(B, lhs.dtype)
-    (aF, kF, sF, _), boundaries = lax.scan(
-        chunk_fwd, (a0, zero, zero, zero), (lhs_cm, ts_cm)
-    )
-    v = jnp.take(aF, cf.final_state, axis=0)
+    fstep_save = None
+    ext_cm = None
+    if use_fused:
+        from .ops import pallas_block as pb
+        from .ops import pallas_scan as ps
+
+        ext, mshift = ps.prepare_emissions(lhs, lengths, P)
+        ext, mshift = ps.pad_emissions(ext, mshift, Npad)
+        boundaries, v, sF, kF = pb.block_viterbi_forward(
+            cf, ext, mshift, chunk=K
+        )
+        ext_cm = ext.reshape(C, K, P + 1, B)
+    else:
+        def fstep(carry, inp):
+            a, ksum, shift, comp = carry
+            lhs_t, t = inp
+            p = jnp.where(t == 0, a, mv(a))
+            e, m_l = eprob(lhs_t, t)
+            y = p * e
+            m = jnp.max(y, axis=0)
+            k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+            y = y * jnp.exp2(-k)[None, :]
+            shift, comp = _kahan_add(shift, comp, m_l)
+            return (y, ksum + k, shift, comp), None
+
+        def fstep_save(carry, inp):
+            new_carry, _ = fstep(carry, inp)
+            return new_carry, new_carry[0]
+
+        def chunk_fwd(carry, inp):
+            boundary = carry[0]
+            new_carry, _ = lax.scan(fstep, carry, inp)
+            return new_carry, boundary
+
+        (aF, kF, sF, _), boundaries = lax.scan(
+            chunk_fwd, (a0, zero, zero, zero), (lhs_cm, ts_cm)
+        )
+        v = jnp.take(aF, cf.final_state, axis=0)
     score = _combine_shift(
         jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
     )
@@ -249,15 +286,27 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
         s_t = jnp.where(t >= lengths, fin_b, s_t)
         return s_t, s_t
 
-    def btrace_chunk(s, inp):
-        bound, lhs_k, ts_k = inp
-        _, A_k = lax.scan(fstep_save, (bound, zero, zero, zero), (lhs_k, ts_k))
-        return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
+    if use_fused:
+        def btrace_chunk(s, inp):
+            bound, ext_k, ts_k = inp
+            from .ops import pallas_block as pb
+
+            A_k = pb.block_viterbi_alphas(cf, bound, ext_k, ts_k[0])
+            return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
+
+        chunk_inputs = (boundaries, ext_cm, ts_cm)
+    else:
+        def btrace_chunk(s, inp):
+            bound, lhs_k, ts_k = inp
+            _, A_k = lax.scan(
+                fstep_save, (bound, zero, zero, zero), (lhs_k, ts_k)
+            )
+            return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
+
+        chunk_inputs = (boundaries, lhs_cm, ts_cm)
 
     s0 = jnp.broadcast_to(cf.final_state, (B,)).astype(jnp.int32)
-    _, states_cm = lax.scan(
-        btrace_chunk, s0, (boundaries, lhs_cm, ts_cm), reverse=True
-    )
+    _, states_cm = lax.scan(btrace_chunk, s0, chunk_inputs, reverse=True)
     states = states_cm.reshape(Npad, B)[:N].T  # (B, N)
     if cf.orig_state is not None:
         states = jnp.take(cf.orig_state, states, axis=0)

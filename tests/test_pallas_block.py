@@ -64,6 +64,55 @@ def test_fused_block_matches_xla_path(graph, pallas_on, monkeypatch):
         assert np.all(np.asarray(p1)[b, int(lens[b]):] == 0.0)
 
 
+def test_fused_viterbi_matches_xla_path(graph, pallas_on, monkeypatch):
+    """Fused tropical (max-mode) forward + chunk recompute vs the XLA
+    tropical scan: identical decoded paths and matching scores, ragged."""
+    from markovmodels_tpu import viterbi as vit
+
+    cf, P = graph
+    B, N = 8, 4
+    rng = np.random.default_rng(13)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([4, 3, 4, 2, 3, 4, 4, 3], dtype=jnp.int32)
+
+    assert vit._fused_vit_ok(cf, lhs)
+    s1, z1 = vit.viterbi(cf, lhs, lens, chunk_size=2)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    s0, z0 = vit.viterbi(cf, lhs, lens, chunk_size=2)
+
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+
+def test_fused_block_partial_batch_slice(graph, pallas_on, monkeypatch):
+    """B not a multiple of the kernel batch slice: the last slice is padded
+    with all-zero emission sequences and trimmed from every output (lifting
+    the former B % 64 restriction).  _BH is shrunk so the multi-slice +
+    padding path runs cheaply in interpret mode."""
+    cf, P = graph
+    monkeypatch.setattr(pb, "_BH", 8)
+    B, N = 12, 3  # -> two 8-wide slices, 4 padded columns
+    rng = np.random.default_rng(3)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([3, 2, 3, 3, 2, 3, 3, 2, 3, 3, 2, 3], dtype=jnp.int32)
+
+    assert pb.block_scan_supported(cf, B)
+    p1, z1 = inf.pdfposteriors(cf, lhs, lens, chunk_size=2)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    p0, z0 = inf.pdfposteriors(cf, lhs, lens, chunk_size=2)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
+
+    from markovmodels_tpu import viterbi as vit
+
+    monkeypatch.delenv("MMTPU_NO_PALLAS")
+    s1, zv1 = vit.viterbi(cf, lhs, lens, chunk_size=2)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    s0, zv0 = vit.viterbi(cf, lhs, lens, chunk_size=2)
+    np.testing.assert_allclose(np.asarray(zv1), np.asarray(zv0), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+
 def test_fused_block_forward_only(graph, pallas_on):
     cf, P = graph
     B, N = 8, 3
