@@ -37,6 +37,8 @@ __all__ = [
     "ShardedProbFSM",
     "shard_compiled_prob",
     "sharded_pdfposteriors_prob",
+    "sharded_logmarginal_prob",
+    "halo_report",
 ]
 
 NEG_INF = -jnp.inf
@@ -255,7 +257,7 @@ def sharded_pdfposteriors(
         "bwd_w",
     ],
     meta_fields=["num_shards", "local_states", "num_pdfs", "fwd_halo",
-                 "bwd_halo"],
+                 "bwd_halo", "fwd_halo_counts", "bwd_halo_counts"],
 )
 @dataclasses.dataclass
 class ShardedProbFSM:
@@ -289,31 +291,88 @@ class ShardedProbFSM:
     num_pdfs: int
     fwd_halo: int
     bwd_halo: int
+    # achieved (unpadded) halo sizes: entry [h][g] = rows shard h actually
+    # sends to shard g (the all_to_all pads every pair to fwd_halo/bwd_halo)
+    fwd_halo_counts: tuple = ()
+    bwd_halo_counts: tuple = ()
+
+
+def lm_hmm_assignment(V: int, hmm_states: int, num_shards: int) -> np.ndarray:
+    """Graph-aware shard assignment for LM ∘ HMM graphs in the plane-major
+    layout of workloads.make_lm_hmm_graph (state(h, k) = k·H + h, phony
+    final last): shard of state (h, k) = h // ceil(H/G).
+
+    All HMM-internal band arcs (self-loops, chain (h,k)→(h,k+1)) connect
+    states of the SAME history h, so they become shard-local; only the
+    cross-HMM n-gram arcs exchange halos — and each destination shard's
+    predecessor exits are strided evenly across the peers, so the per-pair
+    halo shrinks to ~H/G² instead of the contiguous partition's full Sl
+    (where the chain band made some peer export its entire range, and the
+    all_to_all's uniform padding then matched all_gather traffic).
+
+    Returns shard_of (S1,) for S1 = hmm_states·V² + 1.
+    """
+    H = V * V
+    K = hmm_states
+    Hg = -(-H // num_shards)
+    h = np.tile(np.arange(H), K)
+    shard_of = np.empty(K * H + 1, dtype=np.int64)
+    shard_of[: K * H] = h // Hg
+    shard_of[K * H] = num_shards - 1  # phony final
+    return shard_of
 
 
 def shard_compiled_prob(fsm: FSM, state_pdf, num_pdfs: int, num_shards: int,
-                        *, dtype=jnp.float32) -> ShardedProbFSM:
-    """Partition a host FSM into contiguous state ranges with per-direction
-    halo-exchange plans."""
+                        *, shard_of=None, dtype=jnp.float32) -> ShardedProbFSM:
+    """Partition a host FSM into ``num_shards`` state sets with per-direction
+    halo-exchange plans.
+
+    ``shard_of``: optional (S1,) state→shard assignment (e.g.
+    lm_hmm_assignment — band arcs shard-local, minimal halos).  Defaults to
+    contiguous ranges.  The assignment is purely internal: posteriors/logZ
+    are in pdf space and unaffected.
+    """
     state_pdf = np.asarray(state_pdf, dtype=np.int32)
     S1 = len(fsm.alpha_hat)
     G = num_shards
-    Sl = _round_up(-(-S1 // G), 8)
+    if shard_of is None:
+        Sl0 = -(-S1 // G)
+        shard_of = np.minimum(np.arange(S1) // Sl0, G - 1)
+    else:
+        shard_of = np.asarray(shard_of, dtype=np.int64)
+        assert len(shard_of) == S1 and shard_of.max() < G
+    # local index: rank within the shard (stable order by global id)
+    counts_per = np.bincount(shard_of, minlength=G)
+    Sl = _round_up(int(counts_per.max()), 8)
+    local_of = np.empty(S1, dtype=np.int64)
+    for g in range(G):
+        m = shard_of == g
+        local_of[m] = np.arange(m.sum())
 
     rows, cols, data = hs.findnz(fsm.T_hat)
     w = np.exp(np.asarray(data, dtype=np.float64))
 
     def plan(gather_g, seg_g, wv):
-        """Partition edges by the shard owning ``seg``; build the halo."""
-        shard_of = seg_g // Sl
-        per = [np.flatnonzero(shard_of == g) for g in range(G)]
-        # halo: rows_hg = sources shard g needs from shard h (sorted local)
+        """Partition edges by the shard owning ``seg``; build the halo.
+
+        Shard-local sources (owner of src == owner of dst) are gathered
+        straight from the local state slice — they never enter the
+        all_to_all, so the uniform halo pad M is set by the largest
+        OFF-diagonal exchange only (a graph-aware ``shard_of`` makes the
+        dominant band arcs local, shrinking M from ~Sl to the true
+        cross-shard neighborhood)."""
+        sseg, lseg = shard_of[seg_g], local_of[seg_g]
+        sgat, lgat = shard_of[gather_g], local_of[gather_g]
+        per = [np.flatnonzero(sseg == g) for g in range(G)]
+        # halo: rows_hg = local source rows shard g needs from shard h≠g
         rows_hg = [[None] * G for _ in range(G)]
         M = 1
         for g, idx in enumerate(per):
-            uniq = np.unique(gather_g[idx]) if len(idx) else np.array([], int)
             for h in range(G):
-                sel = uniq[(uniq >= h * Sl) & (uniq < (h + 1) * Sl)] - h * Sl
+                if h == g:
+                    rows_hg[h][g] = np.array([], dtype=np.int64)
+                    continue
+                sel = np.unique(lgat[idx][sgat[idx] == h])
                 rows_hg[h][g] = sel
                 M = max(M, len(sel))
         M = _round_up(M, 8)
@@ -326,38 +385,45 @@ def shard_compiled_prob(fsm: FSM, state_pdf, num_pdfs: int, num_shards: int,
         seg = np.full((G, Emax), Sl - 1, dtype=np.int32)
         ww = np.zeros((G, Emax))
         for g, idx in enumerate(per):
-            order = np.argsort(seg_g[idx] % Sl, kind="stable")
+            order = np.argsort(lseg[idx], kind="stable")
             idx = idx[order]
-            gl = gather_g[idx]
-            h = gl // Sl
-            # position inside the recv buffer: h·M + rank within rows_hg
+            h, gl = sgat[idx], lgat[idx]
+            # gather buffer = concat(x_loc (Sl rows), recv (G·M rows)):
+            # local edges index [0, Sl); remote Sl + h·M + rank in rows_hg
             pos = np.empty(len(idx), dtype=np.int64)
             for hh in range(G):
                 m = h == hh
-                pos[m] = hh * M + np.searchsorted(
-                    rows_hg[hh][g], gl[m] - hh * Sl
-                )
+                if hh == g:
+                    pos[m] = gl[m]
+                else:
+                    pos[m] = Sl + hh * M + np.searchsorted(
+                        rows_hg[hh][g], gl[m]
+                    )
             gpos[g, : len(idx)] = pos
-            seg[g, : len(idx)] = seg_g[idx] % Sl
+            seg[g, : len(idx)] = lseg[idx]
             ww[g, : len(idx)] = wv[idx]
-        return send, gpos, seg, ww, M
+        counts = tuple(
+            tuple(len(rows_hg[h][g]) for g in range(G)) for h in range(G)
+        )
+        return send, gpos, seg, ww, M, counts
 
     r64, c64 = rows.astype(np.int64), cols.astype(np.int64)
-    fs, fg, fseg, fw, Mf = plan(r64, c64, w)
-    bs, bg, bseg, bw, Mb = plan(c64, r64, w)
+    fs, fg, fseg, fw, Mf, fcnt = plan(r64, c64, w)
+    bs, bg, bseg, bw, Mb, bcnt = plan(c64, r64, w)
 
-    St = Sl * G
-    alpha = np.zeros(St)
-    alpha[:S1] = np.exp(np.asarray(fsm.alpha_hat, dtype=np.float64))
-    spdf = np.full(St, num_pdfs, dtype=np.int32)
-    spdf[:S1] = state_pdf
-    isf = np.zeros(St, dtype=bool)
-    isf[S1 - 1] = True
+    alpha = np.zeros((G, Sl))
+    alpha[shard_of, local_of] = np.exp(
+        np.asarray(fsm.alpha_hat, dtype=np.float64)
+    )
+    spdf = np.full((G, Sl), num_pdfs, dtype=np.int32)
+    spdf[shard_of, local_of] = state_pdf
+    isf = np.zeros((G, Sl), dtype=bool)
+    isf[shard_of[S1 - 1], local_of[S1 - 1]] = True
 
     return ShardedProbFSM(
-        alpha=jnp.asarray(alpha.reshape(G, Sl), dtype=dtype),
-        state_pdf=jnp.asarray(spdf.reshape(G, Sl)),
-        is_final=jnp.asarray(isf.reshape(G, Sl)),
+        alpha=jnp.asarray(alpha, dtype=dtype),
+        state_pdf=jnp.asarray(spdf),
+        is_final=jnp.asarray(isf),
         fwd_send=jnp.asarray(fs),
         fwd_gpos=jnp.asarray(fg),
         fwd_seg=jnp.asarray(fseg),
@@ -371,6 +437,39 @@ def shard_compiled_prob(fsm: FSM, state_pdf, num_pdfs: int, num_shards: int,
         num_pdfs=int(num_pdfs),
         fwd_halo=Mf,
         bwd_halo=Mb,
+        fwd_halo_counts=fcnt,
+        bwd_halo_counts=bcnt,
+    )
+
+
+def halo_report(sf: ShardedProbFSM) -> dict:
+    """Per-frame ICI traffic of the static halo plan vs the log path's
+    all_gather, in f32 rows per device (multiply by 4·B for bytes).
+
+    ``sent`` counts the padded all_to_all payload a device actually puts on
+    the wire ((G-1)·halo rows per direction — self-slots never leave the
+    chip); ``useful`` the achieved (unpadded) halo rows; ``allgather`` the
+    rows the log-domain path receives per device ((G-1)·Sl per direction).
+    ``ratio`` = sent / allgather (< 1 means the halo plan wins even with
+    max-padding)."""
+    G, Sl = sf.num_shards, sf.local_states
+    sent = (G - 1) * (sf.fwd_halo + sf.bwd_halo)
+    useful = sum(
+        cnt[h][g]
+        for cnt in (sf.fwd_halo_counts, sf.bwd_halo_counts)
+        for h in range(G)
+        for g in range(G)
+        if h != g
+    ) // max(G, 1)
+    allgather = 2 * (G - 1) * Sl
+    return dict(
+        num_shards=G,
+        fwd_halo=sf.fwd_halo,
+        bwd_halo=sf.bwd_halo,
+        sent_rows=sent,
+        useful_rows_avg=useful,
+        allgather_rows=allgather,
+        ratio=sent / allgather if allgather else 0.0,
     )
 
 
@@ -417,7 +516,12 @@ def sharded_pdfposteriors_prob(
                 recv = lax.all_to_all(
                     buf, model_axis, split_axis=0, concat_axis=0, tiled=False
                 )
-                xg = recv.reshape(sf.num_shards * halo, Bl)
+                # gather buffer = [local rows | received halo rows]: shard-
+                # local edges read x_loc directly (gpos < Sl), so the halo
+                # pad is set by the largest off-diagonal exchange only
+                xg = jnp.concatenate(
+                    [x_loc, recv.reshape(sf.num_shards * halo, Bl)], axis=0
+                )
                 contrib = w[:, None] * xg[gpos]
                 return jax.ops.segment_sum(
                     contrib, seg, Sl, indices_are_sorted=True
@@ -598,6 +702,36 @@ def sharded_logmarginal(
     lhs = jnp.asarray(lhs)
     lhs_sg = lax.stop_gradient(lhs)
     posts, logZ = sharded_pdfposteriors(
+        jax.tree.map(lax.stop_gradient, sf),
+        lhs_sg,
+        lengths,
+        mesh=mesh,
+        model_axis=model_axis,
+        data_axis=data_axis,
+        chunk_size=chunk_size,
+    )
+    surr = jnp.einsum("bnp,bnp->b", posts, lhs - lhs_sg)
+    return logZ + surr
+
+
+def sharded_logmarginal_prob(
+    sf: ShardedProbFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str | None = "data",
+    chunk_size: int = 64,
+):
+    """Differentiable total log-marginal over the **fast** sharded path
+    (probability domain + static halo exchange, sharded_pdfposteriors_prob):
+    gradient w.r.t. ``lhs`` = pdf posteriors, via the same first-order
+    surrogate as inference.logmarginal (the posterior-form gradient is exact
+    for the log-marginal of a linear emission model)."""
+    lhs = jnp.asarray(lhs)
+    lhs_sg = lax.stop_gradient(lhs)
+    posts, logZ = sharded_pdfposteriors_prob(
         jax.tree.map(lax.stop_gradient, sf),
         lhs_sg,
         lengths,

@@ -146,6 +146,80 @@ def test_sharded_prob_halo_matches_single_device(graph):
     np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts), atol=1e-5)
 
 
+def test_sharded_prob_gradient_and_halo_report(graph):
+    """The fast halo path's differentiable wrapper (the one
+    dryrun_multichip exercises): gradient = posteriors; halo_report's sent
+    traffic beats the log path's all_gather on this graph."""
+    from markovmodels_tpu.parallel.sharded import (
+        halo_report,
+        shard_compiled_prob,
+        sharded_logmarginal_prob,
+    )
+
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(29)
+    B, N = 4, 9
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32))
+    lengths = jnp.asarray([9, 5, 9, 7], dtype=jnp.int32)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled_prob(fsm, state_pdf, P, num_shards=4)
+    # this toy graph is randomly connected (no shard locality), so only the
+    # report's internal consistency is asserted here; the structured LM∘HMM
+    # case below asserts the ratio actually beats all_gather
+    rep = halo_report(sf)
+    assert rep["useful_rows_avg"] <= rep["sent_rows"]
+    assert rep["allgather_rows"] == 2 * 3 * sf.local_states
+    grad = jax.grad(
+        lambda x: sharded_logmarginal_prob(sf, x, lengths, mesh=mesh).sum()
+    )(lhs)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    posts, _ = inf.pdfposteriors(cf, lhs, lengths)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(posts), atol=1e-5)
+
+
+def test_sharded_prob_lm_hmm_family(graph):
+    """Halo path on the LM ∘ HMM workload family (the structure of the 2M
+    benchmark graph, scaled down): parity vs single device + a halo plan
+    strictly below all_gather traffic."""
+    from markovmodels_tpu.parallel.sharded import (
+        halo_report,
+        lm_hmm_assignment,
+        shard_compiled_prob,
+        sharded_pdfposteriors_prob,
+    )
+    from markovmodels_tpu.workloads import make_lm_hmm_graph
+
+    fsm, spdf, P, info = make_lm_hmm_graph(V=8, keep=0.8, seed=3)
+    rng = np.random.default_rng(30)
+    B, N = 4, 11
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([11, 6, 9, 11], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="segment")
+    ref_posts, ref_logZ = inf.pdfposteriors(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths), chunk_size=8
+    )
+
+    mesh = make_mesh({"model": 8})
+    # graph-aware assignment: band arcs shard-local, only n-gram arcs halo
+    sf = shard_compiled_prob(
+        fsm, spdf, P, num_shards=8,
+        shard_of=lm_hmm_assignment(8, 3, 8),
+    )
+    rep = halo_report(sf)
+    assert rep["ratio"] < 1.0, rep
+    posts, logZ = sharded_pdfposteriors_prob(
+        sf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh,
+        data_axis=None, chunk_size=8
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts),
+                               atol=1e-5)
+
+
 def test_timesharded_forward_matches(graph):
     """Temporal parallelism (SURVEY §5.7): frame axis sharded over 8
     devices, chunk operators folded locally + one all_gather — logZ must
