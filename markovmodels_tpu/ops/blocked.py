@@ -28,7 +28,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BlockOperator", "build_block_operator", "block_matvec"]
+__all__ = [
+    "BlockOperator",
+    "build_block_operator",
+    "block_matvec",
+    "block_matvec_max_arg",
+    "block_max_arg_supported",
+    "tier_dst_inverse",
+]
 
 
 class BlockOperator(NamedTuple):
@@ -433,3 +440,139 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
         else:
             y = y.at[op.res_dst].add(contrib)
     return y
+
+
+# ---------------------------------------------------------------------------
+# tropical matvec with in-pass argmax (compressed backpointers)
+# ---------------------------------------------------------------------------
+
+def block_max_arg_supported(op: BlockOperator, meta) -> bool:
+    """True when block_matvec_max_arg can run: one tier, no residue,
+    affine gather/scatter descriptors, and the candidate id (tier position
+    + band offsets) fits a uint8 (the Viterbi-at-scale bp stream)."""
+    if op.res_src is not None or len(op.tiers) != 1:
+        return False
+    (gdesc, ddesc) = meta[1][0]
+    # any gather form works (generic index gather fallback); the scatter
+    # must be window-expressible to track the winning candidate
+    if ddesc[0] not in ("contig", "affine_d", "affine_k_pad", "affine_d_pad"):
+        return False
+    Sm = op.tiers[0][0].shape[1]
+    nO = len(meta[0])
+    return Sm + nO < 255
+
+
+def tier_dst_inverse(op: BlockOperator, num_states: int) -> np.ndarray:
+    """Host-side inverse of the single tier's destination map: k_of[d] = the
+    tier block writing state d (-1 if none).  Used by the backpointer decode
+    (src = sidx[k_of[d], cand])."""
+    didx = np.asarray(op.tiers[0][1])
+    k_of = np.full(num_states, -1, dtype=np.int32)
+    K, D = didx.shape
+    k_of[didx.reshape(-1)] = np.repeat(np.arange(K, dtype=np.int32), D)
+    return k_of
+
+
+def _maxarg(prod, idx, axis):
+    """(max, argmax) over ``axis`` in ONE variadic lax.reduce pass (XLA
+    fuses the broadcast-multiply producer, so the (K, Sm, D, B) product is
+    never materialized and the reduction costs one comparison chain instead
+    of separate max + argmax sweeps).
+
+    Ties return *some* maximizing index (reduction-tree-order dependent,
+    deterministic per compilation): the comparator is a strict > so each
+    element costs 2 selects, not 4 — any maximizer yields an optimal
+    Viterbi path, which is all the decoder needs."""
+    neg = jnp.asarray(-jnp.inf, prod.dtype)
+
+    def comp(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv > av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    return jax.lax.reduce(
+        (prod, idx), (neg, jnp.asarray(0, idx.dtype)), comp, (axis,)
+    )
+
+
+def block_matvec_max_arg(op: BlockOperator, meta, x):
+    """Tropical y = T̂ᵀ ⊗max x with per-destination winning-candidate ids.
+
+    Returns (y (Sp, B), cand (Sp, B) int32): cand < Sm is a tier source
+    position (src = sidx[k_of[dst], cand]); Sm <= cand < Sm + nO is a band
+    offset index (src = dst - band_offsets[cand - Sm]); 255 = no incoming
+    candidate (zero column).  Requires block_max_arg_supported.  The rank-1
+    ω column (phony final state) is NOT applied here — the at-scale decoder
+    resolves it separately (viterbi._viterbi_scale_bp).
+    """
+    band_offsets, tier_descs = meta[0], meta[1]
+    Sp, B = x.shape
+    sidx, didx, W = op.tiers[0]
+    (gdesc, ddesc) = tier_descs[0]
+    K, Sm = sidx.shape
+    D = didx.shape[1]
+    nO = len(band_offsets)
+
+    y = jnp.zeros_like(x)
+    cand = jnp.full((Sp, B), 255, dtype=jnp.int32)
+    if op.band_w is not None:
+        for oi, off in enumerate(band_offsets):
+            xs = x if off == 0 else jnp.roll(x, off, axis=0)
+            prod = op.band_w[oi][:, None] * xs
+            upd = prod > y
+            y = jnp.where(upd, prod, y)
+            cand = jnp.where(upd, Sm + oi, cand)
+
+    # tier gather (affine views when available, as block_matvec)
+    if gdesc[0] == "affine_s_major":
+        _, base, ds, c0 = gdesc
+        view = jax.lax.slice(x, (base, 0), (base + Sm * ds, B))
+        Xg = view.reshape(Sm, ds, B)[:, c0 : c0 + K].swapaxes(0, 1)
+    elif gdesc[0] == "affine_k_major":
+        _, base, dk, c0 = gdesc
+        view = jax.lax.slice(x, (base, 0), (base + K * dk, B))
+        Xg = view.reshape(K, dk, B)[:, c0 : c0 + Sm]
+    else:
+        Xg = x[sidx.reshape(-1)].reshape(K, Sm, B)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (K, Sm, D, B), 1)
+    Y, A = _maxarg(W[:, :, :, None] * Xg[:, :, None, :], s_ids, 1)
+
+    # tier scatter of (value, cand) through the affine window
+    if ddesc[0] in ("contig", "affine_d"):
+        base = ddesc[1]
+        if ddesc[0] == "affine_d":
+            Y, A = Y.swapaxes(0, 1), A.swapaxes(0, 1)
+        flat_v = Y.reshape(-1, B)
+        flat_c = A.reshape(-1, B)
+        seg_v = y[base : base + K * D]
+        seg_c = cand[base : base + K * D]
+        upd = flat_v > seg_v
+        y = y.at[base : base + K * D].set(jnp.where(upd, flat_v, seg_v))
+        cand = cand.at[base : base + K * D].set(
+            jnp.where(upd, flat_c, seg_c)
+        )
+    else:  # affine_k_pad / affine_d_pad: strided row-chunk window
+        _, base, stride, c0 = ddesc
+        if ddesc[0] == "affine_k_pad":
+            rows, width, Yv, Av = K, D, Y, A
+        else:
+            rows, width, Yv, Av = D, K, Y.swapaxes(0, 1), A.swapaxes(0, 1)
+
+        def upd_window(buf, val, fill):
+            seg = jax.lax.slice(buf, (base, 0), (base + rows * stride, B))
+            seg = seg.reshape(rows, stride, B)
+            win = seg[:, c0 : c0 + width]
+            seg = seg.at[:, c0 : c0 + width].set(
+                jnp.where(fill, val, win)
+            )
+            return jax.lax.dynamic_update_slice(
+                buf, seg.reshape(rows * stride, B), (base, 0)
+            )
+
+        segy = jax.lax.slice(y, (base, 0), (base + rows * stride, B))
+        winy = segy.reshape(rows, stride, B)[:, c0 : c0 + width]
+        sel = Yv > winy
+        y = upd_window(y, Yv, sel)
+        cand = upd_window(cand, Av, sel)
+    return y, cand

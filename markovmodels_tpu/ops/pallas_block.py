@@ -58,8 +58,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "block_scan_supported",
     "block_fused_fb",
-    "block_viterbi_forward",
-    "block_viterbi_alphas",
 ]
 
 _PRECISIONS = {
@@ -224,24 +222,22 @@ def _tier_scratch(plan, Bh, cmax):
     return (1, 8, Bh)
 
 
-def _make_matvec(plan, R, Gp, Bh, cmax, prec, op_kind="sum"):
+def _make_matvec(plan, R, Gp, Bh, cmax, prec):
     """Accumulate y = M⊗a into ``y4_scr`` (band + tier, main block only).
     State refs are 4D (R, Gp, Bh, cmax); flat state r·W + g·cmax + c.
 
-    ``op_kind``: 'sum' (probability semiring; tier panels ride the MXU) or
-    'max' (tropical semiring in the probability domain — the per-k tier
-    reduction becomes a broadcast-multiply + max over sources on the VPU,
-    everything else is identical).  The reference's tropical recursion is
-    the same SpMV with (max, ·) in place of (+, ·)
-    (reference src/linalg.jl:159-233 dispatching on the semiring eltype).
+    Probability semiring only: tier panels ride the MXU.  (A tropical
+    max-mode variant was tried and removed: the max-product reduction has
+    no MXU analog, so it is VPU-bound either way and XLA's own codegen for
+    it is faster — Viterbi at scale instead uses the compressed-backpointer
+    design in viterbi._viterbi_scale_bp.)
     """
     offs = plan["band_offsets"]
     K, Sm, D = plan["K"], plan["Sm"], plan["D"]
     g, s = plan["g"], plan["s"]
     precision = _PRECISIONS[prec]
     RG = R * Gp
-    is_max = op_kind == "max"
-    combine = jnp.maximum if is_max else (lambda a, b: a + b)
+    combine = lambda a, b: a + b
 
     def shift_rows(a, m):
         if m == 0:
@@ -277,28 +273,18 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec, op_kind="sum"):
                 x_cdim = 0
             wk = W_ref[pl.ds(k, 1)][0]  # (Sm, D)
             if s[0] == "col":
-                if is_max:
-                    # (D, Bh) = max_s wk[s, d] · xg[s|.., b]
-                    xe = xg[:, None, :] if x_cdim == 0 else xg.T[:, None, :]
-                    yk = jnp.max(wk[:, :, None] * xe, axis=0)
-                else:
-                    yk = jax.lax.dot_general(
-                        wk, xg, (((0,), (x_cdim,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32,
-                    )  # (D, Bh)
+                yk = jax.lax.dot_general(
+                    wk, xg, (((0,), (x_cdim,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # (D, Bh)
                 t3_scr[pl.ds(k, 1), :D, :] = yk[None, :, :]
             else:
-                if is_max:
-                    # (Bh, D) = max_s xg[b|.., s] · wk[s, d]
-                    xe = xg[:, :, None] if x_cdim == 1 else xg.T[:, :, None]
-                    yk = jnp.max(xe * wk[None, :, :], axis=1)
-                else:
-                    yk = jax.lax.dot_general(
-                        xg, wk, (((x_cdim,), (0,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32,
-                    )  # (Bh, D)
+                yk = jax.lax.dot_general(
+                    xg, wk, (((x_cdim,), (0,)), ((), ())),
+                    precision=precision,
+                    preferred_element_type=jnp.float32,
+                )  # (Bh, D)
                 _, gs, ls = s
                 cur = y4_scr[pl.ds(k, 1), gs, :, ls : ls + D]
                 y4_scr[pl.ds(k, 1), gs, :, ls : ls + D] = combine(
@@ -327,9 +313,8 @@ def _maxall(y4, yt):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec, op_kind="sum"):
-    matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec, op_kind)
-    is_max = op_kind == "max"
+def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec):
+    matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec)
 
     def step(t_is_zero, a4_scr, at_ref, band_ref, W_ref, om_ref, omt_ref,
              em, et, y4_scr, t3_scr):
@@ -338,14 +323,9 @@ def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec, op_kind="sum"):
         a4 = a4_scr[:]
         # rank-1 ω: the only arcs into the tail target the phony final state
         omc = om_ref[:].reshape(R, Gp, 1, cmax) * a4
-        if is_max:
-            yfin = jnp.maximum(
-                jnp.max(omc, axis=(0, 1, 3)), jnp.max(omt_ref[:] * at, axis=1)
-            )  # (Bh,)
-        else:
-            yfin = jnp.sum(omc, axis=(0, 1, 3)) + jnp.sum(
-                omt_ref[:] * at, axis=1
-            )  # (Bh,)
+        yfin = jnp.sum(omc, axis=(0, 1, 3)) + jnp.sum(
+            omt_ref[:] * at, axis=1
+        )  # (Bh,)
         pt_cols = [yfin[:, None]]
         if finoff > 0:
             pt_cols.insert(0, jnp.zeros((Bh, finoff), jnp.float32))
@@ -368,9 +348,8 @@ def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec, op_kind="sum"):
     return step
 
 
-def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
-                     op_kind="sum"):
-    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec, op_kind)
+def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
+    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
     RG = R * Gp
 
     def kernel(band_ref, W_ref, om_ref, omt_ref, al_ref, alt_ref,
@@ -419,9 +398,8 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
     return kernel
 
 
-def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec,
-                           op_kind="sum"):
-    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec, op_kind)
+def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
+    step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
     RG = R * Gp
 
     def kernel(t0_ref, band_ref, W_ref, om_ref, omt_ref, em_ref, et_ref,
@@ -678,263 +656,6 @@ def _run_slice(arrs, st, want_posts, chunk):
     )
     posts = posts.reshape(Npad, P1, Bh)
     return posts, vfin[:, 0], shift[0], ksum[0]
-
-
-# ---------------------------------------------------------------------------
-# fused tropical Viterbi entry points (forward + chunk recompute; the
-# backpointer-free backtrace itself stays in XLA — see viterbi._viterbi_scale)
-# ---------------------------------------------------------------------------
-
-def _static_plan(cf, B):
-    """Shared static tuple + layout constants for the fused entry points."""
-    W, R, plan_f, plan_b = _full_plan(cf)
-    Sp = cf.padded_states
-    tail = Sp - R * W
-    fin = int(cf.final_state)
-    cmax, lim = cf.pdf_group
-    Gp = W // cmax
-    _, P1, _ = 0, cf.num_pdfs + 1, 0
-    st = (
-        Sp, P1, cmax, fin - R * W, W, R, tail,
-        _Frozen(plan_f), _Frozen(plan_b), cf.precision,
-    )
-    return st, W, R, Gp, tail
-
-
-def _emission_layout(cf, ext, R, Gp, cmax, tail):
-    """(Nf, P1, B) extended emissions -> kernel-layout streams
-    em (Nf, RG, B) per main pdf group, et (Nf, B, tail) per tail slot."""
-    RG = R * Gp
-    Gt = tail // cmax
-    em = ext[:, :RG, :]
-    et = jnp.transpose(
-        jnp.repeat(ext[:, RG : RG + Gt, :], cmax, axis=1), (0, 2, 1)
-    )
-    return em, et
-
-
-def _to_state_major(b3, bt):
-    """(..., RG, Bh, cmax) main + (..., Bh, tail) tail -> (..., Sp, Bh)."""
-    main = jnp.swapaxes(b3, -2, -1)
-    main = main.reshape(*b3.shape[:-3], -1, b3.shape[-2])
-    return jnp.concatenate([main, jnp.swapaxes(bt, -2, -1)], axis=-2)
-
-
-@functools.partial(jax.jit, static_argnames=("st", "chunk"))
-def _run_vit_fwd(arrs, st, chunk):
-    """Tropical forward for one ≤64-sequence slice.  Emissions must already
-    be padded to a multiple of ``chunk`` frames (ops.pallas_scan
-    .pad_emissions).  Returns (bounds3 (C, RG, Bh, cmax),
-    boundst (C, Bh, tail), vfin (Bh,), shift (Bh,), ksum (Bh,))."""
-    (band_f, Wt_f, om, omt, al, alt, em, et, msh) = arrs
-    (Sp, P1, cmax, finoff, W, R, tail, plan_f, plan_b, prec) = st
-    Gp = W // cmax
-    RG = R * Gp
-    Npad, _, Bh = em.shape
-    K = min(chunk, Npad)
-    assert Npad % K == 0
-    C = Npad // K
-
-    interp = _interpret()
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
-    nO = band_f.shape[0]
-    Kt, Sm, D = plan_f["K"], plan_f["Sm"], plan_f["D"]
-    fr3 = lambda i: (i, 0, 0)
-
-    common = [
-        _const((nO, RG, cmax)),
-        _const((Kt, Sm, D)),
-        _const((RG, cmax)),
-        _const((1, tail)),
-    ]
-    em_spec = pl.BlockSpec((1, RG, Bh), fr3, memory_space=pltpu.VMEM)
-    et_spec = pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM)
-
-    def scr(plan):
-        return [
-            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
-            pltpu.VMEM((Bh, tail), jnp.float32),
-            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
-            pltpu.VMEM(_tier_scratch(plan, Bh, cmax), jnp.float32),
-        ]
-
-    bounds3, boundst, vfin, shift, ksum = pl.pallas_call(
-        _make_fwd_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff, K,
-                         prec, op_kind="max"),
-        grid=(Npad,),
-        in_specs=common + [
-            _const((RG, cmax)),
-            _const((1, tail)),
-            em_spec,
-            et_spec,
-            pl.BlockSpec((1, 1, Bh), fr3, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, RG, Bh, cmax), lambda i: (i // K, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bh, tail), lambda i: (i // K, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const((Bh, 1)),
-            _const((1, Bh)),
-            _const((1, Bh)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((C, RG, Bh, cmax), jnp.float32),
-            jax.ShapeDtypeStruct((C, Bh, tail), jnp.float32),
-            jax.ShapeDtypeStruct((Bh, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
-        ],
-        scratch_shapes=scr(plan_f) + [
-            pltpu.VMEM((1, Bh), jnp.float32),
-            pltpu.VMEM((1, Bh), jnp.float32),
-            pltpu.VMEM((1, Bh), jnp.float32),
-        ],
-        compiler_params=cparams,
-        interpret=interp,
-    )(band_f, Wt_f, om, omt, al, alt, em, et, msh)
-    return bounds3, boundst, vfin[:, 0], shift[0], ksum[0]
-
-
-@functools.partial(jax.jit, static_argnames=("st",))
-def _run_vit_alphas(t0, arrs, bound3, boundt, st):
-    """Recompute one chunk's tropical alphas from its boundary (one
-    ≤64-sequence slice).  Returns (A3 (K, RG, Bh, cmax), At (K, Bh, tail))."""
-    (band_f, Wt_f, om, omt, em, et) = arrs
-    (Sp, P1, cmax, finoff, W, R, tail, plan_f, plan_b, prec) = st
-    Gp = W // cmax
-    RG = R * Gp
-    K, _, Bh = em.shape
-
-    interp = _interpret()
-    cparams = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
-    nO = band_f.shape[0]
-    Kt, Sm, D = plan_f["K"], plan_f["Sm"], plan_f["D"]
-    fr3 = lambda i: (i, 0, 0)
-    fr4 = lambda i: (i, 0, 0, 0)
-
-    common = [
-        _const((nO, RG, cmax)),
-        _const((Kt, Sm, D)),
-        _const((RG, cmax)),
-        _const((1, tail)),
-    ]
-    em_spec = pl.BlockSpec((1, RG, Bh), fr3, memory_space=pltpu.VMEM)
-    et_spec = pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM)
-
-    def scr(plan):
-        return [
-            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
-            pltpu.VMEM((Bh, tail), jnp.float32),
-            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
-            pltpu.VMEM(_tier_scratch(plan, Bh, cmax), jnp.float32),
-        ]
-
-    A3, At = pl.pallas_call(
-        _make_recompute_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff,
-                               prec, op_kind="max"),
-        grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + common + [
-            em_spec,
-            et_spec,
-            _const((RG, Bh, cmax)),
-            _const((Bh, tail)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, RG, Bh, cmax), fr4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((K, RG, Bh, cmax), jnp.float32),
-            jax.ShapeDtypeStruct((K, Bh, tail), jnp.float32),
-        ],
-        scratch_shapes=scr(plan_f),
-        compiler_params=cparams,
-        interpret=interp,
-    )(t0, band_f, Wt_f, om, omt, em, et, bound3, boundt)
-    return A3, At
-
-
-def _vit_const_arrs(cf, st, W, R, Gp, tail):
-    cmax = st[2]
-    RG = R * Gp
-    a0 = jnp.exp(cf.alpha_hat).astype(jnp.float32)
-    al = a0[: R * W].reshape(RG, cmax)
-    alt = a0[R * W :][None, :]
-
-    def band(op):
-        if op.band_w is None:
-            return jnp.zeros((1, RG, cmax), jnp.float32)
-        return op.band_w[:, : R * W].reshape(-1, RG, cmax)
-
-    om = cf.omega_prob[: R * W].reshape(RG, cmax)
-    omt = cf.omega_prob[R * W :][None, :]
-    return band(cf.block_fwd), cf.block_fwd.tiers[0][2], om, omt, al, alt
-
-
-def block_viterbi_forward(cf, ext, mshift, *, chunk=64):
-    """Fused tropical forward over the full batch.  ``ext``/``mshift`` must
-    be pre-padded to a multiple of ``chunk`` frames (pad_emissions).  Returns
-    (boundaries (C, Sp, B) state-major chunk-start alphas, vfin (B,),
-    shift (B,), ksum (B,)): best-path score = log(vfin) + ksum·ln2 + shift."""
-    st, W, R, Gp, tail = _static_plan(cf, ext.shape[-1])
-    cmax = st[2]
-    band_f, Wt_f, om, omt, al, alt = _vit_const_arrs(cf, st, W, R, Gp, tail)
-    Npad, _, B = ext.shape
-    Bh = min(B, _BH)
-    Bp = -(-B // Bh) * Bh
-    if Bp != B:
-        ext = jnp.pad(ext, ((0, 0), (0, 0), (0, Bp - B)))
-        mshift = jnp.pad(mshift, ((0, 0), (0, 0), (0, Bp - B)))
-    em, et = _emission_layout(cf, ext, R, Gp, cmax, tail)
-
-    bounds_all, vfin_all, shift_all, ksum_all = [], [], [], []
-    for b0 in range(0, Bp, Bh):
-        sl = slice(b0, b0 + Bh)
-        arrs = (band_f, Wt_f, om, omt, al, alt,
-                em[:, :, sl], et[:, sl, :], mshift[:, :, sl])
-        b3, bt, vfin, shift, ksum = _run_vit_fwd(arrs, st, chunk)
-        bounds_all.append(_to_state_major(b3, bt))
-        vfin_all.append(vfin)
-        shift_all.append(shift)
-        ksum_all.append(ksum)
-    return (
-        jnp.concatenate(bounds_all, axis=-1)[..., :B],
-        jnp.concatenate(vfin_all)[:B],
-        jnp.concatenate(shift_all)[:B],
-        jnp.concatenate(ksum_all)[:B],
-    )
-
-
-def block_viterbi_alphas(cf, boundary, ext_k, t0):
-    """Recompute one chunk's tropical alphas from its state-major boundary
-    (Sp, B); ``ext_k``: (K, P1, B) emission frames of the chunk; ``t0``: the
-    chunk's first frame index (traced scalar ok).  Returns (K, Sp, B)."""
-    st, W, R, Gp, tail = _static_plan(cf, ext_k.shape[-1])
-    cmax = st[2]
-    RG = R * Gp
-    band_f, Wt_f, om, omt, _, _ = _vit_const_arrs(cf, st, W, R, Gp, tail)
-    K, _, B = ext_k.shape
-    Bh = min(B, _BH)
-    Bp = -(-B // Bh) * Bh
-    if Bp != B:
-        ext_k = jnp.pad(ext_k, ((0, 0), (0, 0), (0, Bp - B)))
-        boundary = jnp.pad(boundary, ((0, 0), (0, Bp - B)))
-    em, et = _emission_layout(cf, ext_k, R, Gp, cmax, tail)
-    t0a = jnp.asarray(t0, dtype=jnp.int32).reshape(1)
-
-    b_main = boundary[: R * W].reshape(RG, cmax, Bp)
-    b_tail = boundary[R * W :]  # (tail, Bp)
-
-    outs = []
-    for b0 in range(0, Bp, Bh):
-        sl = slice(b0, b0 + Bh)
-        arrs = (band_f, Wt_f, om, omt, em[:, :, sl], et[:, sl, :])
-        bound3 = jnp.swapaxes(b_main[:, :, sl], 1, 2)  # (RG, Bh, cmax)
-        boundt = jnp.swapaxes(b_tail[:, sl], 0, 1)  # (Bh, tail)
-        A3, At = _run_vit_alphas(t0a, arrs, bound3, boundt, st)
-        outs.append(_to_state_major(A3, At))  # (K, Sp, Bh)
-    return jnp.concatenate(outs, axis=-1)[..., :B]
 
 
 def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):

@@ -8,16 +8,21 @@ here it is first-class, with two regimes:
 * small/medium graphs ('segment'/'ell' strategies): the same scan skeleton
   as inference.py run in the log-domain tropical semiring, recording int32
   backpointers per frame, then a reverse scan gathers the best sequence.
-* at scale ('dense'/'block' strategies, e.g. the 2M-arc denominator): a
-  **backpointer-free** design.  Storing (N, Sp, B) int32 backpointers costs
-  as much HBM as the alphas themselves and the argmax cannot ride the MXU,
-  so instead the forward pass is the same max-times probability-domain scan
-  as inference._fb_prob (per-frame exact power-of-two rescaling; max instead
-  of sum — the blocked/dense operators reused with ``op_kind='max'``), and
-  the path is recovered chunk-by-chunk in reverse: recompute the chunk's
-  alphas from the saved boundary (the chunk-checkpoint trick), then walk
-  s_t = argmax over the ≤D_in incoming arcs of s_{t+1} — a (B, D_in) gather
-  per frame, negligible next to the scan.
+* at scale ('dense'/'block' strategies, e.g. the 2M-arc denominator), two
+  designs, picked by graph shape and memory:
+  - **compressed backpointers** (single-affine-tier block graphs): the
+    in-degree of every state is tier width + band count < 255, so the
+    winning *candidate id* fits a uint8 — one tropical forward sweep
+    records (Npad, Sp, B) uint8 ids (~4.4 GB at the benchmark shape) via a
+    single-pass variadic (max, argmax) reduce, and the backtrace is a
+    trivial gather walk.  The tropical max-product reduction is VPU-bound
+    (no MXU analog of max-times), so halving the sweeps is the dominant
+    win: measured 0.68 s vs 1.43 s for the recompute design at 2M arcs.
+  - **backpointer-free chunk recompute** (fallback; full int32 backpointers
+    would cost as much HBM as the alphas): forward saves only chunk
+    boundaries; the path is recovered chunk-by-chunk in reverse by
+    recomputing alphas from the boundary, then walking s_t = argmax over
+    the ≤D_in incoming arcs of s_{t+1}.
 """
 from __future__ import annotations
 
@@ -131,35 +136,130 @@ def _trop_prob_matvec(cf: CompiledFSM):
 
 
 _FULL_MEM_BYTES = 4 << 30
+_BP_MEM_BYTES = 6 << 30
 
 
-def _fused_vit_ok(cf: CompiledFSM, lhs) -> bool:
-    """True when the fused tropical Pallas scan (ops/pallas_block.py,
-    op_kind='max') can run the forward + chunk-recompute passes."""
+def _bp_vit_ok(cf: CompiledFSM, lhs) -> bool:
+    """True when the compressed-backpointer decode (_viterbi_scale_bp) can
+    run: block strategy, rank-1 ω split, single affine tier (candidate ids
+    fit uint8), and the (Npad, Sp, B) uint8 bp stream fits in HBM."""
     import os
 
-    if os.environ.get("MMTPU_NO_PALLAS"):
+    if os.environ.get("MMTPU_NO_VITBP"):
         return False
-    if cf.strategy != "block":
+    if cf.strategy != "block" or cf.omega_prob is None:
         return False
-    if jax.default_backend() != "tpu" and not os.environ.get(
-        "MMTPU_PALLAS_INTERPRET"
-    ):
-        return False
-    from .ops import pallas_block as pb
+    from .ops.blocked import block_max_arg_supported
 
-    return pb.block_scan_supported(cf, lhs.shape[0])
+    if not block_max_arg_supported(cf.block_fwd, cf.block_fwd_offsets):
+        return False
+    B, N, _ = lhs.shape
+    return (N + 1) * cf.padded_states * B <= _BP_MEM_BYTES
+
+
+def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
+    """Backpointer-based Viterbi for 'block' graphs with a single affine
+    tier: ONE tropical forward sweep that records, per frame and state, the
+    winning *candidate id* (tier source position or band offset index —
+    uint8, in-degree < 255), plus the rank-1 ω argmax per frame.  The
+    backtrace is then a trivial (B,) gather walk — no chunk recompute
+    sweep, unlike _viterbi_scale (the tropical max-product reduction is
+    VPU-bound, so halving the sweeps is the dominant win; the uint8 stream
+    costs Npad·Sp·B bytes of HBM, ~4.4 GB at the 2M-arc benchmark shape).
+
+    Reference hot-kernel analog src/linalg.jl:159-233 (tropical SpMV); the
+    reference's (disabled) bestpath stored full per-state backpointers.
+    """
+    import numpy as np
+
+    from .ops.blocked import block_matvec_max_arg, tier_dst_inverse, _maxarg
+
+    B, N, P = lhs.shape
+    Sp = cf.padded_states
+    Nf = N + 1
+    fin_idx = int(cf.final_state)
+    omega_p = cf.omega_prob
+    sidx = cf.block_fwd.tiers[0][0]
+    K, Sm = sidx.shape
+    nO = len(cf.block_fwd_offsets[0])
+
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Nf - N), (0, 0), (0, 0)))
+    ts = jnp.arange(Nf, dtype=jnp.int32)
+    eprob = _make_eprob(cf, lengths)
+    a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
+        lhs.dtype
+    )
+    zero = jnp.zeros(B, lhs.dtype)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 0)
+
+    def fstep(carry, inp):
+        a, ksum, shift, comp = carry
+        lhs_t, t = inp
+        # rank-1 ω transition into phony: value + argmax source
+        fin_v, fin_a = _maxarg(omega_p[:, None] * a, bidx, 0)
+        y, cand = block_matvec_max_arg(
+            cf.block_fwd, cf.block_fwd_offsets, a
+        )
+        y = y.at[fin_idx].set(fin_v)
+        p = jnp.where(t == 0, a, y)
+        e, m_l = eprob(lhs_t, t)
+        y = p * e
+        m = jnp.max(y, axis=0)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        y = y * jnp.exp2(-k)[None, :]
+        shift, comp = _kahan_add(shift, comp, m_l)
+        return (y, ksum + k, shift, comp), (
+            cand.astype(jnp.uint8),
+            fin_a.astype(jnp.int32),
+        )
+
+    (aF, kF, sF, _), (bps, fins) = lax.scan(
+        fstep, (a0, zero, zero, zero), (lhs_tm, ts)
+    )
+    v = jnp.take(aF, fin_idx, axis=0)
+    score = _combine_shift(
+        jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
+    )
+
+    # backtrace: decode candidate ids to source states
+    k_of = jnp.asarray(tier_dst_inverse(cf.block_fwd, Sp))
+    sidx_flat = sidx.reshape(-1)
+    offs = jnp.asarray(
+        np.asarray(cf.block_fwd_offsets[0], dtype=np.int32).reshape(-1)
+        if nO
+        else np.zeros(1, np.int32)
+    )
+    fin_b = jnp.broadcast_to(fin_idx, (B,)).astype(jnp.int32)
+    bcol = jnp.arange(B)
+
+    def wstep(s, inp):
+        cand_t, fin_t, t = inp
+        c = cand_t[s, bcol].astype(jnp.int32)
+        tier_src = sidx_flat[
+            jnp.clip(k_of[s], 0, K - 1) * Sm + jnp.clip(c, 0, Sm - 1)
+        ]
+        band_src = s - offs[jnp.clip(c - Sm, 0, offs.shape[0] - 1)]
+        src = jnp.where(c < Sm, tier_src, band_src)
+        src = jnp.where(c == 255, fin_b, src)
+        s_prev = jnp.where(t == lengths, fin_t, src)
+        s_prev = jnp.where(t > lengths, fin_b, s_prev)
+        return s_prev, s_prev
+
+    _, states = lax.scan(
+        wstep, fin_b, (bps[1:], fins[1:], ts[1:]), reverse=True
+    )
+    states = states[:N].T  # (B, N)
+    if cf.orig_state is not None:
+        states = jnp.take(cf.orig_state, states, axis=0)
+    return states, score
 
 
 def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     """Backpointer-free Viterbi for 'dense'/'block' graphs (module
-    docstring).  Returns (states (B, N) int32 in compiled numbering,
-    score (B,)).
-
-    When the fused blocked Pallas scan supports the graph, the forward pass
-    and the per-chunk alpha recompute run as max-mode fused kernels (the
-    operator and state stay VMEM-resident across frames); only the
-    per-frame argmax walk — a (B, D_in) gather — stays in XLA."""
+    docstring): chunk-checkpointed forward + per-chunk recompute walk.
+    Returns (states (B, N) int32 in compiled numbering, score (B,))."""
+    if _bp_vit_ok(cf, lhs):
+        return _viterbi_scale_bp(cf, lhs, lengths)
     B, N, P = lhs.shape
     Sp = cf.padded_states
     Nf = N + 1
@@ -175,9 +275,8 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
-    use_fused = _fused_vit_ok(cf, lhs)
     eprob = _make_eprob(cf, lengths)
-    mv = _trop_prob_matvec(cf) if not use_fused else None
+    mv = _trop_prob_matvec(cf)
 
     # incoming-arc CSR pointers over the dst-sorted fwd edge arrays (host
     # side; cf must be concrete — close over the graph when jitting).
@@ -211,44 +310,32 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     )
 
     zero = jnp.zeros(B, lhs.dtype)
-    fstep_save = None
-    ext_cm = None
-    if use_fused:
-        from .ops import pallas_block as pb
-        from .ops import pallas_scan as ps
 
-        ext, mshift = ps.prepare_emissions(lhs, lengths, P)
-        ext, mshift = ps.pad_emissions(ext, mshift, Npad)
-        boundaries, v, sF, kF = pb.block_viterbi_forward(
-            cf, ext, mshift, chunk=K
-        )
-        ext_cm = ext.reshape(C, K, P + 1, B)
-    else:
-        def fstep(carry, inp):
-            a, ksum, shift, comp = carry
-            lhs_t, t = inp
-            p = jnp.where(t == 0, a, mv(a))
-            e, m_l = eprob(lhs_t, t)
-            y = p * e
-            m = jnp.max(y, axis=0)
-            k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
-            y = y * jnp.exp2(-k)[None, :]
-            shift, comp = _kahan_add(shift, comp, m_l)
-            return (y, ksum + k, shift, comp), None
+    def fstep(carry, inp):
+        a, ksum, shift, comp = carry
+        lhs_t, t = inp
+        p = jnp.where(t == 0, a, mv(a))
+        e, m_l = eprob(lhs_t, t)
+        y = p * e
+        m = jnp.max(y, axis=0)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        y = y * jnp.exp2(-k)[None, :]
+        shift, comp = _kahan_add(shift, comp, m_l)
+        return (y, ksum + k, shift, comp), None
 
-        def fstep_save(carry, inp):
-            new_carry, _ = fstep(carry, inp)
-            return new_carry, new_carry[0]
+    def fstep_save(carry, inp):
+        new_carry, _ = fstep(carry, inp)
+        return new_carry, new_carry[0]
 
-        def chunk_fwd(carry, inp):
-            boundary = carry[0]
-            new_carry, _ = lax.scan(fstep, carry, inp)
-            return new_carry, boundary
+    def chunk_fwd(carry, inp):
+        boundary = carry[0]
+        new_carry, _ = lax.scan(fstep, carry, inp)
+        return new_carry, boundary
 
-        (aF, kF, sF, _), boundaries = lax.scan(
-            chunk_fwd, (a0, zero, zero, zero), (lhs_cm, ts_cm)
-        )
-        v = jnp.take(aF, cf.final_state, axis=0)
+    (aF, kF, sF, _), boundaries = lax.scan(
+        chunk_fwd, (a0, zero, zero, zero), (lhs_cm, ts_cm)
+    )
+    v = jnp.take(aF, cf.final_state, axis=0)
     score = _combine_shift(
         jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
     )
@@ -286,27 +373,17 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
         s_t = jnp.where(t >= lengths, fin_b, s_t)
         return s_t, s_t
 
-    if use_fused:
-        def btrace_chunk(s, inp):
-            bound, ext_k, ts_k = inp
-            from .ops import pallas_block as pb
-
-            A_k = pb.block_viterbi_alphas(cf, bound, ext_k, ts_k[0])
-            return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
-
-        chunk_inputs = (boundaries, ext_cm, ts_cm)
-    else:
-        def btrace_chunk(s, inp):
-            bound, lhs_k, ts_k = inp
-            _, A_k = lax.scan(
-                fstep_save, (bound, zero, zero, zero), (lhs_k, ts_k)
-            )
-            return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
-
-        chunk_inputs = (boundaries, lhs_cm, ts_cm)
+    def btrace_chunk(s, inp):
+        bound, lhs_k, ts_k = inp
+        _, A_k = lax.scan(
+            fstep_save, (bound, zero, zero, zero), (lhs_k, ts_k)
+        )
+        return lax.scan(bstep, s, (A_k, ts_k), reverse=True)
 
     s0 = jnp.broadcast_to(cf.final_state, (B,)).astype(jnp.int32)
-    _, states_cm = lax.scan(btrace_chunk, s0, chunk_inputs, reverse=True)
+    _, states_cm = lax.scan(
+        btrace_chunk, s0, (boundaries, lhs_cm, ts_cm), reverse=True
+    )
     states = states_cm.reshape(Npad, B)[:N].T  # (B, N)
     if cf.orig_state is not None:
         states = jnp.take(cf.orig_state, states, axis=0)

@@ -116,6 +116,58 @@ def test_viterbi_scale_matches_segment_on_reordered_block():
     np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_ref))
 
 
+def test_viterbi_bp_lm_hmm():
+    """Compressed-backpointer decode (single tropical sweep + uint8
+    candidate ids) on the LM ∘ HMM workload family: engages, matches the
+    segment-strategy score, and the decoded path's exact f64 weight equals
+    the optimum."""
+    import scipy.sparse as sp
+
+    from markovmodels_tpu import hostsparse as hs
+    from markovmodels_tpu.workloads import make_lm_hmm_graph
+
+    rng = np.random.default_rng(17)
+    fsm, spdf, P, info = make_lm_hmm_graph(V=8, seed=2)
+    B, N = 3, 25
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([25, 11, 18], dtype=np.int32)
+
+    cb = inf.compile_fsm(fsm, spdf, P, strategy="block", precision="high")
+    assert vit._bp_vit_ok(cb, jnp.asarray(lhs)), "bp path must engage"
+    states, score = vit.viterbi(cb, jnp.asarray(lhs), jnp.asarray(lengths))
+    states, score = np.asarray(states), np.asarray(score)
+
+    cs = inf.compile_fsm(fsm, spdf, P, strategy="segment")
+    _, ref_score = vit.viterbi(cs, jnp.asarray(lhs), jnp.asarray(lengths))
+    np.testing.assert_allclose(score, np.asarray(ref_score), atol=1e-3)
+
+    # exact f64 weight of the decoded path must equal the tropical optimum
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    S1 = len(fsm.alpha_hat)
+    T = sp.csr_matrix(
+        (np.asarray(data, dtype=np.float64), (rows, cols)), shape=(S1, S1)
+    )
+    T.sort_indices()
+
+    def arc_w(i, j):
+        lo, hi = T.indptr[i], T.indptr[i + 1]
+        k = lo + np.searchsorted(T.indices[lo:hi], j)
+        return T.data[k] if k < hi and T.indices[k] == j else -np.inf
+
+    a0 = np.asarray(fsm.alpha_hat, dtype=np.float64)
+    for b in range(B):
+        L = int(lengths[b])
+        path = states[b, :L]
+        w = a0[path[0]] + float(
+            lhs[b, np.arange(L), spdf[path]].astype(np.float64).sum()
+        )
+        for t in range(L - 1):
+            w += arc_w(path[t], path[t + 1])
+        w += arc_w(path[L - 1], S1 - 1)
+        np.testing.assert_allclose(w, float(ref_score[b]), atol=1e-3)
+        assert np.all(states[b, L:] == cb.num_states - 1)
+
+
 def test_maxstateposteriors_best_path_zero():
     rng = np.random.default_rng(13)
     S, P, N = 5, 3, 15
