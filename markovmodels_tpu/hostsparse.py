@@ -61,7 +61,11 @@ def _dense_zeros(sr, shape):
     if _is_numeric(sr):
         return sr.zeros(shape)
     out = np.empty(shape, dtype=object)
-    out[...] = sr.zero
+    # loop-fill: object zeros may themselves be array-like (e.g. the
+    # append-concat semirings' tuple values), which `out[...] =` would
+    # try to broadcast
+    for i in range(out.size):
+        out.flat[i] = sr.zero
     return out
 
 

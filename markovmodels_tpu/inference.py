@@ -576,8 +576,13 @@ def _make_matvec(cf: CompiledFSM, direction: str):
     return lambda x: sops.segment_matvec(s, d, w, x, Sp)
 
 
-def _make_elhs(cf: CompiledFSM, lengths):
-    if cf.multi_pdf:
+def _make_elhs(cf: CompiledFSM, lengths, trop: bool = False):
+    """``trop=True`` is the tropical lift: a general Ĉ's per-state emission
+    is the ⊕ over its pdf set, which under (max, +) is a max — the Viterbi
+    recursions use it (ref Ĉ generality src/inference.jl:7-8).  The
+    log-domain *sum* recursions reject general Ĉ (a per-frame logsumexp per
+    state would be needed; the prob-domain path handles it instead)."""
+    if cf.multi_pdf and not trop:
         raise NotImplementedError(
             "log-domain recursions do not support general Ĉ; use the "
             "prob-domain pdfposteriors path"
@@ -591,7 +596,17 @@ def _make_elhs(cf: CompiledFSM, lengths):
         lhs_ext = jnp.concatenate(
             [lhs_t.T, jnp.full((1, lhs_t.shape[0]), NEG_INF, lhs_t.dtype)], axis=0
         )  # (P+1, B); phony pdf row = zero(K)
-        x = lhs_ext[cf.state_pdf, :]
+        if cf.multi_pdf:
+            x = jnp.max(
+                jnp.where(
+                    cf.pdf_onehot[:, :, None] > 0,
+                    lhs_ext[:, None, :],
+                    NEG_INF,
+                ),
+                axis=0,
+            )  # (Sp, B): max over each state's pdf set
+        else:
+            x = lhs_ext[cf.state_pdf, :]
         active = (t < lengths)[None, :]
         return jnp.where(active, x, jnp.where(is_phony, 0.0, NEG_INF))
 
@@ -725,10 +740,14 @@ def _fb_run(kern: _Kernels, lhs, lengths, chunk_size, want_posts, num_pdfs):
     return posts, logZ
 
 
-def _make_eprob(cf: CompiledFSM, lengths):
+def _make_eprob(cf: CompiledFSM, lengths, op: str = "sum"):
     """Per-frame emission probabilities for the prob-domain scans:
     (lhs_t (B, P), t) -> (e (Sp, B) in [0, 1], m_l (B,) factored log-shift).
-    Shared by the fwd-bwd scan (_fb_prob) and the tropical Viterbi scan."""
+    Shared by the fwd-bwd scan (_fb_prob) and the tropical Viterbi scan.
+
+    ``op``: reduction over a general Ĉ's pdf set per state — 'sum' for the
+    forward-backward lift, 'max' for the tropical (Viterbi) lift.  With a
+    one-pdf-per-state Ĉ the two coincide."""
     Sp = cf.padded_states
     is_ph = (jnp.arange(Sp) == cf.final_state)[:, None]
     P1 = cf.num_pdfs + 1
@@ -739,7 +758,15 @@ def _make_eprob(cf: CompiledFSM, lengths):
         el = jnp.exp(lhs_t - m_l[:, None])  # (B, P) in (0, 1]
         ph = jnp.where(active, 0.0, 1.0)[None, :]  # phony-pdf row
         ext = jnp.concatenate([el.T * active[None, :], ph], axis=0)  # (P1, B)
-        if cf.multi_pdf:
+        if cf.multi_pdf and op == "max":
+            # tropical lift of Ĉ·V̂: ⊕ over the state's pdf set = max
+            x = jnp.max(
+                jnp.where(
+                    cf.pdf_onehot[:, :, None] > 0, ext[:, None, :], 0.0
+                ),
+                axis=0,
+            )
+        elif cf.multi_pdf:
             # general Ĉ: emission of state s sums its pdf set (the
             # reference's Ĉ·V̂ expansion, src/inference.jl:151) — one binary
             # MXU matmul; padding/phony columns carry the phony-pdf one

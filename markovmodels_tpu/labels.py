@@ -22,6 +22,9 @@ __all__ = [
     "LabelSet",
     "PySemiring",
     "UNION_CONCAT",
+    "APPEND_CONCAT",
+    "append_concat_over",
+    "product_semiring",
 ]
 
 
@@ -100,3 +103,42 @@ UNION_CONCAT = PySemiring(
     zero=LabelSet(),
     one=LabelSet([()]),
 )
+
+
+def append_concat_over(inner: PySemiring | None = None,
+                       name: str = "append_concat") -> PySemiring:
+    """AppendConcatSemiring analog (reference src/lmfsm.jl:37-52, via the
+    Semirings.jl package): values are *tuples* (multisets with order) of
+    ``inner`` elements; ⊕ = tuple append, ⊗ = pairwise inner-product of all
+    combinations.  Unlike UNION_CONCAT, multiplicity is preserved — the
+    n-gram lift depends on it.
+
+    ``inner=None`` gives the plain label-monoid instance (elements are
+    labels, pairwise product = concatenation).
+    """
+    mul1 = label_mul if inner is None else inner.mul
+    one1 = () if inner is None else inner.one
+    return PySemiring(
+        name=name,
+        add=lambda a, b: tuple(a) + tuple(b),
+        mul=lambda a, b: tuple(mul1(x, y) for x in a for y in b),
+        zero=(),
+        one=(one1,),
+    )
+
+
+# AppendConcatSemiring{LabelMonoid} analog (values: tuples of labels).
+APPEND_CONCAT = append_concat_over(None)
+
+
+def product_semiring(s1: PySemiring, s2: PySemiring,
+                     name: str | None = None) -> PySemiring:
+    """ProductSemiring{S1, S2} analog (reference src/lmfsm.jl:37-39):
+    component-wise pairs."""
+    return PySemiring(
+        name=name or f"product({s1.name},{s2.name})",
+        add=lambda a, b: (s1.add(a[0], b[0]), s2.add(a[1], b[1])),
+        mul=lambda a, b: (s1.mul(a[0], b[0]), s2.mul(a[1], b[1])),
+        zero=(s1.zero, s2.zero),
+        one=(s1.one, s2.one),
+    )

@@ -23,33 +23,25 @@ import numpy as np
 
 from .fsm import FSM
 from .fsmops import concat, renorm
-from .labels import Label
+from .labels import Label, append_concat_over, product_semiring
 from . import hostsparse as hs
 
-__all__ = ["totalngramsum", "language_model_fsm", "merge_ngrams"]
+__all__ = [
+    "totalngramsum",
+    "totalngramsum_lifted",
+    "language_model_fsm",
+    "merge_ngrams",
+]
 
 
 def totalngramsum(fsm: FSM, order: int) -> dict:
-    """n-gram statistics of ``fsm``: dict ngram-tuple -> (iw, w, fw)."""
+    """n-gram statistics of ``fsm``: dict ngram-tuple -> (iw, w, fw).
+
+    Last-label restriction + pad chain per the reference
+    (src/lmfsm.jl:17-35); cross-checked against the label-semiring-lifted
+    construction in totalngramsum_lifted."""
     sr = fsm.sr
-
-    # Keep only the last atom of each state label (reference src/lmfsm.jl:17-22).
-    labels = [Label(lab[-1]) if len(lab) else Label() for lab in fsm.labels]
-    fsm = FSM(fsm.sr, fsm.alpha_hat, fsm.T_hat, labels)
-
-    # Pad with a chain of order-1 empty-labelled states so windows crossing the
-    # sentence start yield the shorter initial n-grams (src/lmfsm.jl:27-35).
-    if order > 1:
-        n = order - 1
-        pad = FSM.from_pairs(
-            [(0, sr.one)],
-            [((i, i + 1), sr.one) for i in range(n - 1)],
-            [(n - 1, sr.one)],
-            [Label()] * n,
-            sr,
-        )
-        fsm = concat(pad, fsm)
-
+    fsm = _pad_last_label(fsm, order)
     S = fsm.num_states
     alpha, omega = fsm.alpha, fsm.omega
     labs = fsm.labels
@@ -87,6 +79,82 @@ def totalngramsum(fsm: FSM, order: int) -> dict:
             a, b, c = ngrams.get(g, (sr.zero, sr.zero, sr.zero))
             # per-path final weight is ω(end); Σ over paths = mult ⊗ ω.
             ngrams[g] = (sr.add(a, iw), sr.add(b, w), sr.add(c, sr.mul(mult, om)))
+    return ngrams
+
+
+def _pad_last_label(fsm: FSM, order: int) -> FSM:
+    """Shared preamble of both n-gram counters: keep only the last label
+    atom per state, prepend the order-1 empty-labelled pad chain."""
+    sr = fsm.sr
+    labels = [Label(lab[-1]) if len(lab) else Label() for lab in fsm.labels]
+    fsm = FSM(fsm.sr, fsm.alpha_hat, fsm.T_hat, labels)
+    if order > 1:
+        n = order - 1
+        pad = FSM.from_pairs(
+            [(0, sr.one)],
+            [((i, i + 1), sr.one) for i in range(n - 1)],
+            [(n - 1, sr.one)],
+            [Label()] * n,
+            sr,
+        )
+        fsm = concat(pad, fsm)
+    return fsm
+
+
+def totalngramsum_lifted(fsm: FSM, order: int) -> dict:
+    """The reference's own construction of ``totalngramsum`` — decorate the
+    FSM with the nested product semiring
+
+        S = Product(Product(AppendConcat{Label}, K), Product(K, K))
+            (label sequence, interior weight) x (initial weight, final weight)
+
+    lifted into an AppendConcat-of-S collection semiring, and run the
+    ``totalsum`` power iteration for exactly ``order`` steps (reference
+    src/lmfsm.jl:10-73).  Exponential in path count — this is the *oracle*
+    the DP redesign (totalngramsum) is cross-checked against on cyclic
+    weighted graphs; use totalngramsum for real workloads.
+    """
+    from .algorithms import totalsum
+
+    K = fsm.sr
+    fsm = _pad_last_label(fsm, order)
+    S = fsm.num_states
+    labs = fsm.labels
+    alpha, omega = fsm.alpha, fsm.omega
+
+    T1 = product_semiring(append_concat_over(None), K)
+    T2 = product_semiring(K, K)
+    Ssr = product_semiring(T1, T2)
+    outer = append_concat_over(Ssr, name="append_concat_S")
+
+    # every state is lifted — zero α/ω ride INSIDE the product element
+    # (iw/fw components) so interior windows are still enumerated, exactly
+    # as the reference's dense zip over the sparse α/ω (src/lmfsm.jl:41-52)
+    alpha_l = np.empty(S, dtype=object)
+    for i in range(S):
+        alpha_l[i] = ((((tuple(labs[i]),), K.one), (alpha[i], K.one)),)
+    omega_l = np.empty(S, dtype=object)
+    for i in range(S):
+        omega_l[i] = ((T1.one, (K.one, omega[i])),)
+
+    # structural lift keeps the CSR layout (arc into j carries λ_j)
+    T = fsm.T
+    data_l = np.empty(T.nnz, dtype=object)
+    for k, (j, w) in enumerate(zip(T.indices, T.data)):
+        data_l[k] = ((((tuple(labs[int(j)]),), w), T2.one),)
+    T_l = hs.SpMat(T.shape, T.indptr.copy(), T.indices.copy(), data_l)
+
+    stats = totalsum(alpha_l, T_l, omega_l, order, outer)
+
+    ngrams: dict = {}
+    for ((seqs, w), (iw, fw)) in stats:
+        # seqs holds exactly one concatenated label; hostsparse.spmv_t
+        # right-multiplies (mul(arc, prefix)), so the sequence comes out
+        # reversed — exactly the reference's Julia situation
+        # (src/lmfsm.jl:62-66): reverse it back.
+        ngram = tuple(reversed(seqs[0]))
+        a, b, c = ngrams.get(ngram, (K.zero, K.zero, K.zero))
+        ngrams[ngram] = (K.add(a, iw), K.add(b, w), K.add(c, fw))
     return ngrams
 
 

@@ -70,7 +70,7 @@ def _viterbi_single(cf: CompiledFSM, lhs, lengths):
     ts = jnp.arange(Nf, dtype=jnp.int32)
 
     mv = _trop_matvec(cf, "fwd")
-    elhs = _make_elhs(cf, lengths)
+    elhs = _make_elhs(cf, lengths, trop=True)
     x0 = jnp.broadcast_to(cf.alpha_hat[:, None], (Sp, B))
 
     def fstep(carry, inp):
@@ -185,7 +185,7 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
 
     lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Nf - N), (0, 0), (0, 0)))
     ts = jnp.arange(Nf, dtype=jnp.int32)
-    eprob = _make_eprob(cf, lengths)
+    eprob = _make_eprob(cf, lengths, op="max")
     a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
         lhs.dtype
     )
@@ -275,7 +275,7 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
-    eprob = _make_eprob(cf, lengths)
+    eprob = _make_eprob(cf, lengths, op="max")
     mv = _trop_prob_matvec(cf)
 
     # incoming-arc CSR pointers over the dst-sorted fwd edge arrays (host
@@ -397,11 +397,6 @@ def viterbi(cf: CompiledFSM, lhs, lengths=None, *, chunk_size=None):
     final state, so returned entries there equal the phony state id; mask
     with ``lengths`` when consuming.
     """
-    if getattr(cf, "multi_pdf", False):
-        raise NotImplementedError(
-            "Viterbi over a general Ĉ (multi-pdf states) is not supported: "
-            "the tropical emission would be a max over the pdf set"
-        )
     lhs = jnp.asarray(lhs)
     if lengths is None:
         lengths = jnp.full((lhs.shape[0],), lhs.shape[-2])
@@ -440,7 +435,7 @@ def maxstateposteriors(cf: CompiledFSM, lhs, lengths=None):
         ts = jnp.arange(Nf, dtype=jnp.int32)
         fmv = _trop_matvec(cf, "fwd")
         bmv = _trop_matvec(cf, "bwd")
-        elhs = _make_elhs(cf, lengths)
+        elhs = _make_elhs(cf, lengths, trop=True)
         x0 = jnp.broadcast_to(cf.alpha_hat[:, None], (Sp, B))
 
         def fstep(carry, inp):

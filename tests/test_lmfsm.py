@@ -46,6 +46,45 @@ def test_trigram_counts():
     assert iw == sr.zero and w == sr.one and fw == sr.one
 
 
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dp_matches_label_semiring_lift_on_cyclic_graph(order):
+    """The DP redesign (totalngramsum) vs the reference's own construction
+    (totalngramsum_lifted: AppendConcat/Product label semirings + totalsum,
+    reference src/lmfsm.jl:37-52) on a *cyclic weighted* FSM — loops with
+    unequal weights and multiple paths realizing the same n-gram are
+    exactly where the two could diverge."""
+    sr = mm.LOG
+    rng = np.random.default_rng(31)
+    # 4 states, cycles: self-loop on 1, back edge 2->0, two initial states
+    arcs = [
+        ((0, 1), np.log(0.5)),
+        ((1, 1), np.log(0.3)),  # self-loop
+        ((1, 2), np.log(0.4)),
+        ((2, 0), np.log(0.6)),  # back edge (cycle 0->1->2->0)
+        ((2, 3), np.log(0.2)),
+        ((3, 1), np.log(0.7)),  # second cycle 1->2->3->1
+    ]
+    fsm = mm.FSM.from_pairs(
+        [(0, np.log(0.8)), (1, np.log(0.2))],
+        arcs,
+        [(2, np.log(0.3)), (3, np.log(0.5))],
+        [Label(w) for w in ["a", "b", "a", "c"]],
+        sr,
+    )
+    dp = mm.totalngramsum(fsm, order=order)
+    from markovmodels_tpu.lmfsm import totalngramsum_lifted
+
+    lifted = totalngramsum_lifted(fsm, order=order)
+    assert set(dp) == set(lifted)
+    for g in dp:
+        np.testing.assert_allclose(
+            np.asarray(dp[g], dtype=np.float64),
+            np.asarray(lifted[g], dtype=np.float64),
+            atol=1e-10,
+            err_msg=f"ngram {g}",
+        )
+
+
 def test_ngram_merge_counts_multiplicity():
     sr = mm.PROB  # counts are literal in the prob semiring
     s1 = mm.totalngramsum(linear_sentence(sr, ["a", "b"]), order=2)

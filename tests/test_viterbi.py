@@ -116,6 +116,60 @@ def test_viterbi_scale_matches_segment_on_reordered_block():
     np.testing.assert_array_equal(np.asarray(s_blk), np.asarray(s_ref))
 
 
+@pytest.mark.parametrize("strategy", ["dense", "block"])
+def test_viterbi_general_statemap_multi_pdf(strategy):
+    """Viterbi over a general Ĉ (states emitting several pdfs, reference
+    src/inference.jl:7-8): the tropical emission is the max over the pdf
+    set; checked against a dense max-plus DP oracle."""
+    from markovmodels_tpu import hostsparse as hs
+
+    rng = np.random.default_rng(19)
+    S, P, N, B = 6, 4, 20, 2
+    fsm, _, (alpha, T, omega) = make_hmm(rng, S, P, lr=False)
+    T = T.copy()
+    T[:, S - 1] = np.maximum(T[:, S - 1], np.log(0.05))
+    fsm = mm.FSM.from_parts(alpha, hs.spmat_from_dense(T, mm.LOG), omega,
+                            fsm.labels, mm.LOG)
+    pdf_sets = [[2], [0, 2], [3], [1, 2, 3], [0], [1], [P]]
+    rows = np.repeat(np.arange(S + 1), [len(s) for s in pdf_sets])
+    cols = np.concatenate([np.array(s) for s in pdf_sets])
+    C = hs.spmat_from_coo(
+        rows, cols, np.zeros(len(rows)), (S + 1, P + 1), mm.LOG
+    )
+    loglik = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([20, 11], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, C, P, strategy=strategy)
+    assert cf.multi_pdf
+    states, score = vit.viterbi(cf, jnp.asarray(loglik), jnp.asarray(lengths))
+    states, score = np.asarray(states), np.asarray(score)
+
+    # dense tropical oracle: emission of state s = max over its pdf set
+    for b in range(B):
+        L = int(lengths[b])
+        ll = loglik[b, :L].astype(np.float64)
+        emis = np.stack(
+            [np.max(ll[:, pdf_sets[s]], axis=1) for s in range(S)], axis=1
+        )  # (L, S)
+        delta = np.full((L, S), -np.inf)
+        psi = np.zeros((L, S), dtype=np.int64)
+        delta[0] = alpha + emis[0]
+        for t in range(1, L):
+            sc = delta[t - 1][:, None] + T
+            psi[t] = S - 1 - np.argmax(sc[::-1], axis=0)
+            delta[t] = sc[psi[t], np.arange(S)] + emis[t]
+        end = delta[L - 1] + omega
+        ref_score = np.max(end)
+        np.testing.assert_allclose(score[b], ref_score, atol=1e-4)
+        # decoded path must achieve the optimal score under max-emission
+        path = states[b, :L]
+        w = alpha[path[0]] + emis[0, path[0]]
+        for t in range(1, L):
+            w += T[path[t - 1], path[t]] + emis[t, path[t]]
+        w += omega[path[L - 1]]
+        np.testing.assert_allclose(w, ref_score, atol=1e-4)
+
+
 def test_viterbi_bp_lm_hmm():
     """Compressed-backpointer decode (single tropical sweep + uint8
     candidate ids) on the LM ∘ HMM workload family: engages, matches the
