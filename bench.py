@@ -422,12 +422,18 @@ def main():
         cf = inf.compile_fsm(fsm, spdf, P, strategy="dense", precision="high")
         errs = []
         for n_probe in (100, 300, 700):
+            # per-probe gate scales with N: the f32 summation floor is
+            # ~7e-7/frame (the ladder below demonstrates the linearity)
             e_n, p_n = _parity(
-                inf, jax, jnp, fsm, spdf, P, cf, n=n_probe, tol=2e-4,
-                ptol=1e-4,
+                inf, jax, jnp, fsm, spdf, P, cf, n=n_probe,
+                tol=max(2e-4, 2e-6 * n_probe), ptol=1e-4,
             )
             errs.append((n_probe, e_n, p_n))
         per_frame = [e / n for n, e, _ in errs]
+        assert max(per_frame) < 3 * max(min(per_frame), 1e-8), (
+            f"per-frame error not ~constant: {per_frame} — superlinear "
+            "growth would indicate an algorithmic error, not round-off"
+        )
         print(
             "# wsj parity vs f64 oracle: "
             + ", ".join(f"N={n}: |dlogZ|={e:.2e}" for n, e, _ in errs)

@@ -227,7 +227,11 @@ def compile_fsm(
     C_multi = None
     if isinstance(state_pdf, hs.SpMat):
         counts = np.diff(state_pdf.indptr)
-        if (counts <= 1).all():
+        # index fast path only for exactly-one-pdf-per-state maps; a Ĉ with
+        # an empty row (state emitting no pdf) goes through general-Ĉ mode
+        # (statemap_to_indices would reject it with a misleading error
+        # telling the caller to pass the matrix — which they just did)
+        if (counts == 1).all():
             state_pdf = statemap_to_indices(state_pdf)
         else:
             # general-Ĉ mode (reference src/inference.jl:7-8): emission
@@ -383,6 +387,15 @@ def compile_fsm(
         to_fin = cols == final_idx
         om = np.zeros(Sp, dtype=np.float64)
         np.add.at(om, rows[to_fin], np.exp(data[to_fin]))
+        # findnz of a sparse matrix yields each (src, fin) pair at most
+        # once, so every omega_prob entry is a SINGLE arc's probability —
+        # the tropical Viterbi paths reuse this vector with a max
+        # reduction, which is only equivalent to the sum here because of
+        # that single-arc invariant (assert it rather than rely on it)
+        assert len(np.unique(rows[to_fin])) == int(to_fin.sum()), (
+            "parallel arcs into the final state would break the tropical "
+            "reuse of omega_prob"
+        )
         kw["omega_prob"] = jnp.asarray(om, dtype=dtype)
         crows, ccols, cdata = rows[~to_fin], cols[~to_fin], data[~to_fin]
 

@@ -74,6 +74,12 @@ def _process_utterance(line: str):
         except Exception:
             pass  # corrupt cache: rebuild
 
+    # REBUILD (some artifact missing/corrupt): drop the done-marker first,
+    # so a crash mid-rewrite cannot leave a valid marker next to a
+    # truncated fsm/smap that the next run would skip as done
+    if os.path.exists(ng_path):
+        os.remove(ng_path)
+
     lexicon = c["lexicon"]
     seq = [s if Label(s) in lexicon else "<unk>" for s in seq]
 

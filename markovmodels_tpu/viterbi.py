@@ -358,6 +358,12 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
         # ties -> largest source index (the segment/ELL kernels' convention)
         best = (Dmax - 1) - jnp.argmax(cand[:, ::-1], axis=1)
         s_t = jnp.take_along_axis(src, best[:, None], axis=1)[:, 0]
+        # every incoming candidate underflowed (state ~88 nats below the
+        # frame max): argmax is arbitrary and could emit a transition that
+        # does not exist in the graph — park on the phony final state
+        # instead, which unambiguously FLAGS the breakdown in the decoded
+        # sequence (a real mid-utterance frame can never be phony)
+        s_t = jnp.where(jnp.max(cand, axis=1) == NEG_INF, fin_b, s_t)
 
         # t = L-1: transition into phony via the ω arcs (rank-1, full-width
         # argmax) — lax.cond skips the (Sp, B) work on every other frame

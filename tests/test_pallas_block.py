@@ -144,6 +144,114 @@ def test_fused_block_partial_batch_slice(graph, pallas_on, monkeypatch):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
 
 
+def test_descriptor_classifiers_all_branches():
+    """_gather_desc/_scatter_desc classify every affine family; _dir_plan
+    lowers the mirror (contig / affine_d) scatter forms too."""
+    from markovmodels_tpu.ops import blocked as bl
+
+    lim = 4096
+    K, Sm, D = 4, 8, 8
+    k, m = np.arange(K)[:, None], np.arange(Sm)[None, :]
+    # gather forms
+    assert bl._gather_desc(7 + k * 64 + m, lim)[0] == "affine_k_major"
+    assert bl._gather_desc(7 + k + m * 64, lim)[0] == "affine_s_major"
+    # a K=1 strided row is subsumed by the windowed s-major form (the
+    # 'diag' fallback would also be valid but the window is preferred)
+    assert bl._gather_desc(
+        np.arange(Sm)[None, :] * 5 + 3, lim
+    )[0] == "affine_s_major"
+    rng = np.random.default_rng(0)
+    assert bl._gather_desc(
+        rng.integers(0, lim, size=(K, Sm)), lim
+    )[0] == "gather"
+    d = np.arange(D)[None, :]
+    # scatter forms
+    assert bl._scatter_desc(64 + k * D + d, lim)[0] == "contig"
+    assert bl._scatter_desc(64 + k + d * K, lim)[0] == "affine_d"
+    assert bl._scatter_desc(64 + k * 32 + d, lim)[0] == "affine_k_pad"
+    assert bl._scatter_desc(64 + k + d * 32, lim)[0] == "affine_d_pad"
+    assert bl._scatter_desc(
+        np.arange(D)[None, :] * 7 + 2, lim
+    )[0] == "affine_d_pad"  # K=1 strided row: windowed form subsumes diag
+    assert bl._scatter_desc(
+        rng.integers(0, lim, size=(K, D)), lim
+    )[0] == "scatter"
+    # right-edge window shift: affine pattern overrunning `limit` comes
+    # back with col0 > 0 instead of falling off the fast path
+    desc = bl._gather_desc((lim - K * 64) + k * 64 + (64 - Sm) + m, lim)
+    assert desc[0] == "affine_k_major" and desc[3] > 0
+
+
+def test_dir_plan_mirror_branches():
+    """_dir_plan lowers the 'contig' and 'affine_d' scatter descriptors
+    (the mirror of what the V=128 LM∘HMM operator produces) and the
+    row/row plan shape; _tier_scratch sizes follow."""
+    from markovmodels_tpu.ops import pallas_block as pb
+    from markovmodels_tpu.ops.blocked import BlockOperator
+
+    W, R, cmax = 256, 4, 128
+    K, Sm, D = 4, 64, 64
+    sidx = (np.arange(K)[:, None] * W + np.arange(Sm)[None, :]).astype(
+        np.int32
+    )
+    didx = (np.arange(K)[:, None] * W + np.arange(D)[None, :]).astype(
+        np.int32
+    )
+    op = BlockOperator(
+        band_w=None,
+        tiers=((sidx, didx, np.zeros((K, Sm, D), np.float32)),),
+        res_src=None, res_dst=None, res_w=None,
+    )
+    gdesc = ("affine_k_major", 0, W, 0)
+    # contig scatter didx[k, j] = k·W + j  (dk == W ≡ 'affine_k_pad' form
+    # degenerates to contig only when D == W; use the pad form with dk=W)
+    meta = ((0,), ((gdesc, ("contig", 0)),))
+    plan = pb._dir_plan(op, meta, W, R, cmax)
+    assert plan is None or plan["s"][0] == "row"  # contig: dk2=D != W -> None
+    # affine_k_pad with stride W lowers to the row scatter branch
+    meta = ((0,), ((gdesc, ("affine_k_pad", 0, W, 0)),))
+    plan = pb._dir_plan(op, meta, W, R, cmax)
+    assert plan is not None and plan["g"][0] == "row" and plan["s"][0] == "row"
+    assert pb._tier_scratch(plan, 8, cmax) == (1, 8, 8)
+    # affine_d_pad scatter with K == cmax lowers to the col (staged
+    # transpose) branch — the shape family the V=128 graph's fwd plan uses
+    K2 = cmax2 = Sm2 = D2 = 4
+    sidx2 = (np.arange(K2)[:, None] * W + np.arange(Sm2)[None, :]).astype(
+        np.int32
+    )
+    op2 = BlockOperator(
+        band_w=None,
+        tiers=((sidx2, sidx2, np.zeros((K2, Sm2, D2), np.float32)),),
+        res_src=None, res_dst=None, res_w=None,
+    )
+    meta = ((0,), ((("affine_k_major", 0, W, 0),
+                    ("affine_d_pad", 0, W, 0)),))
+    plan = pb._dir_plan(op2, meta, W, R, cmax2)
+    assert plan is not None and plan["g"][0] == "row" and plan["s"][0] == "col"
+    assert pb._tier_scratch(plan, 8, cmax2)[0] == cmax2
+
+
+def test_fused_block_tail_pad_frames(graph, pallas_on, monkeypatch):
+    """Npad != Nf with non-trivial tails: N chosen so the last chunk is
+    mostly pad frames, plus ragged lengths ending inside the pad region —
+    parity vs the XLA path."""
+    cf, P = graph
+    monkeypatch.setattr(pb, "_BH", 8)
+    B, N = 8, 5  # chunk_size=3 -> Nf=6, Npad=6, but chunk 4 -> Npad=8 != 6
+    rng = np.random.default_rng(21)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([5, 4, 5, 2, 3, 5, 1, 4], dtype=jnp.int32)
+
+    p1, z1 = inf.pdfposteriors(cf, lhs, lens, chunk_size=4)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    p0, z0 = inf.pdfposteriors(cf, lhs, lens, chunk_size=4)
+    z0, z1 = np.asarray(z0), np.asarray(z1)
+    fin = np.isfinite(z0)
+    assert (np.isfinite(z1) == fin).all()
+    np.testing.assert_allclose(z1[fin], z0[fin], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
+
+
 def test_fused_block_forward_only(graph, pallas_on):
     cf, P = graph
     B, N = 8, 3
