@@ -61,6 +61,9 @@ __all__ = [
 ]
 
 _PRECISIONS = {
+    # NOTE: Mosaic's dot_general lowering supports only DEFAULT/HIGHEST, so
+    # 'high' cannot map to 3-pass bf16 (Precision.HIGH) here the way
+    # ops/semiring_ops does for XLA-lowered matmuls
     "bf16": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGHEST,
     "f32": jax.lax.Precision.HIGHEST,
@@ -261,44 +264,37 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
                 a4_scr[r0 : r0 + Sm, g0, :, :], (2, 0, 1)
             )
 
-        def body(k, _):
-            if g[0] == "row":
-                _, g0, l0 = g
-                xg = a4_scr[pl.ds(k, 1), g0, :, l0 : l0 + Sm].reshape(
-                    Bh, Sm
-                )
-                x_cdim = 1
-            else:
-                xg = t3_scr[pl.ds(k, 1), :Sm, :].reshape(Sm, Bh)
-                x_cdim = 0
-            wk = W_ref[pl.ds(k, 1)][0]  # (Sm, D)
-            if s[0] == "col":
-                yk = jax.lax.dot_general(
-                    wk, xg, (((0,), (x_cdim,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=jnp.float32,
-                )  # (D, Bh)
-                t3_scr[pl.ds(k, 1), :D, :] = yk[None, :, :]
-            else:
-                yk = jax.lax.dot_general(
-                    xg, wk, (((x_cdim,), (0,)), ((), ())),
-                    precision=precision,
-                    preferred_element_type=jnp.float32,
-                )  # (Bh, D)
-                _, gs, ls = s
-                cur = y4_scr[pl.ds(k, 1), gs, :, ls : ls + D]
-                y4_scr[pl.ds(k, 1), gs, :, ls : ls + D] = combine(
-                    cur, yk[None, :, :]
-                )
-            return 0
-
-        jax.lax.fori_loop(0, K, body, 0)
+        # tier contraction: ONE batched dot_general over all K blocks (a
+        # fori_loop of K small dots left the MXU ~25x under peak — the
+        # per-iteration slice/store overhead dominated the 128x128x64 dots)
+        if g[0] == "row":
+            _, g0, l0 = g
+            Xg = a4_scr[0:K, g0, :, l0 : l0 + Sm]  # (K, Bh, Sm)
+            x_cdim = 2
+        else:
+            Xg = t3_scr[0:K, :Sm, :]  # (K, Sm, Bh)
+            x_cdim = 1
+        W3 = W_ref[:]  # (K, Sm, D)
         if s[0] == "col":
+            Y = jax.lax.dot_general(
+                W3, Xg, (((1,), (x_cdim,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # (K, D, Bh)
             _, r0s, g0s = s
             win = y4_scr[r0s : r0s + D, g0s, :, :]
             y4_scr[r0s : r0s + D, g0s, :, :] = combine(
-                win, jnp.transpose(t3_scr[:, :D, :], (1, 2, 0))
+                win, jnp.transpose(Y, (1, 2, 0))
             )
+        else:
+            Y = jax.lax.dot_general(
+                Xg, W3, (((x_cdim,), (1,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )  # (K, Bh, D)
+            _, gs, ls = s
+            cur = y4_scr[0:K, gs, :, ls : ls + D]
+            y4_scr[0:K, gs, :, ls : ls + D] = combine(cur, Y)
 
     return matvec
 

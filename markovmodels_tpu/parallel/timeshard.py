@@ -34,7 +34,7 @@ from ..inference import CompiledFSM, _combine_shift
 from ..ops.assoc_scan import dense_prob_operator
 from ..ops import semiring_ops as sops
 
-__all__ = ["timesharded_forward"]
+__all__ = ["timesharded_forward", "timesharded_pdfposteriors"]
 
 NEG_INF = float("-inf")
 
@@ -148,3 +148,181 @@ def timesharded_forward(
 
     logZ, _ = fold_local(lhs_tm, lengths, cf.alpha_hat)
     return logZ
+
+
+def timesharded_pdfposteriors(
+    cf: CompiledFSM,
+    lhs,
+    lengths=None,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+):
+    """Posteriors + logZ with the frame axis sharded over ``time_axis`` —
+    the full parallel forward-backward (three phases):
+
+    1. every device folds its local chunk of per-frame operators into one
+       boundary operator (parallel, O(N/D) matmuls);
+    2. chunk operators are all_gathered once over ICI; every device runs
+       the cheap O(D) cross-chunk recursion to obtain its chunk's entry
+       alpha and exit beta (replicated work, D·Sp² per sequence);
+    3. every device runs a LOCAL forward-backward inside its chunk from
+       those boundaries, emitting per-frame pdf posteriors (per-frame
+       normalization makes the global rescaling shifts cancel).
+
+    Returns (posts (B, N, P), logZ (B,)), matching inference.pdfposteriors
+    to f32 round-off.  Same regime note as timesharded_forward: dense
+    operators, small graphs, long sequences.
+    """
+    lhs = jnp.asarray(lhs)
+    B, N, Pn = lhs.shape
+    if Pn != cf.num_pdfs:
+        raise ValueError(f"lhs has {Pn} pdfs, graph expects {cf.num_pdfs}")
+    if lengths is None:
+        lengths = jnp.full((B,), N)
+    lengths = jnp.minimum(jnp.asarray(lengths, dtype=jnp.int32), N)
+
+    D = mesh.shape[time_axis]
+    Sp = cf.padded_states
+    A = dense_prob_operator(cf)
+    prec = sops._PRECISIONS[cf.precision]
+    Nf = N + 1
+    L = -(-Nf // D)
+    Npad = L * D
+    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
+    is_ph = (jnp.arange(Sp) == cf.final_state).astype(lhs.dtype)
+    P1 = cf.num_pdfs + 1
+    fin = cf.final_state
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(time_axis), P(), P()),
+        out_specs=(P(time_axis), P()),
+        check_vma=False,
+    )
+    def run(lhs_l, lengths_l, alpha_hat):
+        d = lax.axis_index(time_axis)
+        Ll = lhs_l.shape[0]
+        ts = d * Ll + jnp.arange(Ll, dtype=jnp.int32)
+
+        def emissions(lhs_t, t):
+            active = t < lengths_l
+            m_l = jnp.max(lhs_t, axis=1)
+            el = jnp.exp(lhs_t - m_l[:, None])
+            ext = jnp.concatenate(
+                [el * active[:, None], jnp.zeros((B, 1), lhs_t.dtype)],
+                axis=1,
+            )
+            e = ext[:, cf.state_pdf.clip(0, P1 - 1)]
+            return jnp.where(active[:, None], e, is_ph[None, :])
+
+        # phase 1: fold the local chunk operator
+        def fold_step(carry, inp):
+            M, shift = carry
+            lhs_t, t = inp
+            e = emissions(lhs_t, t)
+            MA = jnp.einsum(
+                "ij,bjl->bil", A, M,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            MA = jnp.where(t == 0, M, MA)
+            Mn = e[:, :, None] * MA
+            m = jnp.max(Mn, axis=(1, 2))
+            ms = jnp.where(m > 0, m, 1.0)
+            return (Mn / ms[:, None, None],
+                    shift + jnp.where(m > 0, jnp.log(ms), 0.0)), None
+
+        M0 = jnp.broadcast_to(jnp.eye(Sp, dtype=lhs_l.dtype), (B, Sp, Sp))
+        (Mc, shiftc), _ = lax.scan(
+            fold_step, (M0, jnp.zeros(B, lhs_l.dtype)), (lhs_l, ts)
+        )
+        Ms = lax.all_gather(Mc, time_axis)  # (D, B, Sp, Sp)
+
+        # phase 2: cross-chunk boundaries (replicated, O(D) matvecs)
+        def norm(v):
+            m = jnp.max(v, axis=1)
+            return v / jnp.where(m > 0, m, 1.0)[:, None]
+
+        v = jnp.broadcast_to(jnp.exp(alpha_hat)[None, :], (B, Sp))
+        v_in = v
+        total = jnp.zeros(B, lhs_l.dtype)
+        for dd in range(D):
+            v_in = jnp.where(dd == d, v, v_in)
+            v = jnp.einsum(
+                "bij,bj->bi", Ms[dd], v,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            m = jnp.max(v, axis=1)
+            ms = jnp.where(m > 0, m, 1.0)
+            v = v / ms[:, None]
+            total = total + jnp.where(m > 0, jnp.log(ms), 0.0)
+        b = jnp.broadcast_to(is_ph[None, :], (B, Sp))
+        b_out = b
+        for dd in range(D - 1, -1, -1):
+            b_out = jnp.where(dd == d, b, b_out)
+            b = norm(jnp.einsum(
+                "bij,bi->bj", Ms[dd], b,
+                preferred_element_type=jnp.float32, precision=prec,
+            ))
+        # logZ = final product + cross norms + psum of fold shifts and the
+        # factored emission max-shifts (normalized posteriors below need
+        # none of these — all shifts cancel per frame)
+        val = v[:, fin]
+        m_l = jnp.where(
+            ts[:, None] < lengths_l[None, :],
+            jnp.max(lhs_l, axis=2), 0.0,
+        ).sum(axis=0)
+        logZ = (
+            jnp.where(val > 0, jnp.log(jnp.maximum(val, 1e-38)), NEG_INF)
+            + total + lax.psum(shiftc + m_l, time_axis)
+        )
+
+        # phase 3: local forward-backward from the boundaries
+        def fstep(carry, inp):
+            vv = carry
+            lhs_t, t = inp
+            e = emissions(lhs_t, t)
+            y = jnp.einsum(
+                "ij,bj->bi", A, vv,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            y = jnp.where(t == 0, vv, y) * e
+            return norm(y), norm(y)
+
+        _, alphas = lax.scan(fstep, v_in, (lhs_l, ts))  # (Ll, B, Sp)
+
+        def bstep(carry, inp):
+            bb = carry
+            lhs_t, t, a_t = inp
+            g = a_t * bb  # (B, Sp)
+            # β_{t-1} = Aᵀ (e_t ⊙ β_t)  (for t > 0)
+            eb = emissions(lhs_t, t) * bb
+            nb = jnp.einsum(
+                "ij,bi->bj", A, eb,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            return norm(nb), g
+
+        _, gammas = lax.scan(
+            bstep, b_out, (lhs_l, ts, alphas), reverse=True
+        )  # (Ll, B, Sp)
+
+        # pdf reduction + per-frame normalization (shift-free)
+        oh = cf.pdf_onehot  # (P1, Sp)
+        if oh is None:
+            oh = jax.nn.one_hot(
+                cf.state_pdf, P1, dtype=lhs_l.dtype, axis=0
+            )
+        g = jnp.einsum(
+            "ps,lbs->lbp", oh, gammas,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        tot = jnp.sum(g, axis=2, keepdims=True)
+        posts = g[:, :, : cf.num_pdfs] / jnp.where(tot > 0, tot, 1.0)
+        active = (ts[:, None] < lengths_l[None, :])[:, :, None]
+        return jnp.where(active, posts, 0.0), logZ
+
+    posts_tm, logZ = run(lhs_tm, lengths, cf.alpha_hat)
+    posts = jnp.moveaxis(posts_tm, 0, 1)[:, :N, :]  # (B, N, P)
+    return posts, logZ

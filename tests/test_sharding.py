@@ -242,6 +242,33 @@ def test_timesharded_forward_matches(graph):
     np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref), atol=5e-4)
 
 
+def test_timesharded_posteriors_match(graph):
+    """Full parallel forward-backward over the time axis (chunk-fold +
+    boundary exchange + local fwd-bwd): posteriors AND logZ must match the
+    sequential recursion, ragged lengths included."""
+    from markovmodels_tpu.parallel.timeshard import timesharded_pdfposteriors
+
+    fsm, state_pdf, parts, P = graph
+    rng = np.random.default_rng(33)
+    B, N = 3, 29
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([29, 13, 22], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="dense")
+    ref_posts, ref_logZ = inf.pdfposteriors(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths)
+    )
+
+    mesh = make_mesh({"time": 8})
+    posts, logZ = timesharded_pdfposteriors(
+        cf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts),
+                               atol=1e-4)
+
+
 def test_data_parallel_jit(graph):
     """Replicated graph + batch sharded over the data axis under plain jit
     (GSPMD handles the rest)."""
