@@ -25,8 +25,10 @@ state r·W + j of sequence b — chosen so that
   128 lanes, which is exactly what blew VMEM in the first design);
 * the blocked operator's affine tier descriptors (ops/blocked.py) become
   row/lane slices: a stride-W gather window is ``a3[k, :, c:c+Sm]``, a
-  stride-W scatter is a lane-slice update; both orientations of the
-  per-block MXU dot (D,Bh)/(Bh,D) fall out of operand order, no transposes;
+  stride-W scatter is a lane-slice update; the tier contraction is ONE
+  batched dot_general over all K blocks (batch dim k — a fori_loop of K
+  small dots left the MXU ~25x under peak), with a single 3D transpose per
+  frame for the column-oriented side (measured ~12% of the sweep);
 * band offsets are static two-slice lane shifts with row carry;
 * the pdf-grouped emission multiply is a lane-dim reshape (W % cmax == 0);
 * the extended final column (rank-1 ω split) lives in the flat tail
@@ -212,16 +214,14 @@ def block_scan_supported(cf, B: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _tier_scratch(plan, Bh, cmax):
-    """Lane-column gathers/scatters stage through a (cmax, ·, Bh) buffer
-    (one window transpose per frame) — dynamic single-lane indexing is not
-    expressible on TPU."""
-    Sm, D = plan["Sm"], plan["D"]
-    if plan["g"][0] == "col" or plan["s"][0] == "col":
-        width = max(
-            Sm if plan["g"][0] == "col" else 0,
-            D if plan["s"][0] == "col" else 0,
-        )
-        return (cmax, width, Bh)
+    """Lane-column GATHERS stage through a (cmax, Sm, Bh) transposed view
+    of the state (one window transpose per frame) — dynamic single-lane
+    indexing is not expressible on TPU.  Col-scatters need no scratch since
+    the batched tier dot produces (K, D, Bh) directly (transposed on the
+    way into y4)."""
+    Sm = plan["Sm"]
+    if plan["g"][0] == "col":
+        return (cmax, Sm, Bh)
     return (1, 8, Bh)
 
 

@@ -228,7 +228,15 @@ def test_dir_plan_mirror_branches():
                     ("affine_d_pad", 0, W, 0)),))
     plan = pb._dir_plan(op2, meta, W, R, cmax2)
     assert plan is not None and plan["g"][0] == "row" and plan["s"][0] == "col"
-    assert pb._tier_scratch(plan, 8, cmax2)[0] == cmax2
+    # col-scatter needs no staging scratch (batched dot output feeds the
+    # transpose directly); only col-GATHER plans allocate the full buffer
+    assert pb._tier_scratch(plan, 8, cmax2) == (1, 8, 8)
+    plan_colg = pb._dir_plan(
+        op2, ((0,), ((("affine_s_major", 0, W, 0),
+                      ("affine_k_pad", 0, W, 0)),)), W, R, cmax2
+    )
+    assert plan_colg is not None and plan_colg["g"][0] == "col"
+    assert pb._tier_scratch(plan_colg, 8, cmax2)[0] == cmax2
 
 
 def test_fused_block_tail_pad_frames(graph, pallas_on, monkeypatch):
