@@ -399,7 +399,9 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
                 "ksd,ksb->kdb",
                 W,
                 Xg,
-                preferred_element_type=jnp.float32,
+                # follow the state dtype so an f64-compiled operator (the
+                # bench's precision-floor probe) accumulates in f64
+                preferred_element_type=x.dtype,
                 precision=precision,
             )
         if ddesc[0] == "contig":

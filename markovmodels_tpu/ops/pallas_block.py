@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "block_scan_supported",
+    "block_scan_reject_reason",
     "block_fused_fb",
 ]
 
@@ -82,7 +83,13 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _dir_plan(op, meta, W, R, cmax):
-    """Per-direction tier plan in (R, Gp, Bh, cmax) coordinates, or None.
+    plan, _ = _dir_plan_explain(op, meta, W, R, cmax)
+    return plan
+
+
+def _dir_plan_explain(op, meta, W, R, cmax):
+    """Per-direction tier plan in (R, Gp, Bh, cmax) coordinates as
+    (plan, None), or (None, reason) naming the first rejected predicate.
 
     The kernel state is 4D: row r, pdf-group g, batch b, lane c with flat
     state r·W + g·cmax + c.  Supported tier forms (both appear in LM ∘ HMM
@@ -93,8 +100,10 @@ def _dir_plan(op, meta, W, R, cmax):
       scatter 'affine_k_pad'/'contig' (one group row per k).
     """
     band_offsets, tier_descs = meta[0], meta[1]
-    if op.res_src is not None or len(op.tiers) != 1:
-        return None
+    if op.res_src is not None:
+        return None, "residue edges present (blocks with too many sources)"
+    if len(op.tiers) != 1:
+        return None, f"{len(op.tiers)} tiers (kernel supports exactly 1)"
     sidx, didx, Wt = op.tiers[0]
     gdesc, ddesc = tier_descs[0]
     K, Sm = sidx.shape
@@ -102,31 +111,43 @@ def _dir_plan(op, meta, W, R, cmax):
     plan = dict(band_offsets=tuple(band_offsets), K=K, Sm=Sm, D=D)
     for off in band_offsets:
         if off % cmax or abs(off) >= W:
-            return None
+            return None, (
+                f"band offset {off} not a multiple of the pdf-group size "
+                f"{cmax} inside row width {W}"
+            )
 
     if gdesc[0] == "affine_k_major":
         _, gb, dk, gc0 = gdesc
         c = gb + gc0
         if dk != W or c // W != 0 or (c % W) % cmax + Sm > cmax:
-            return None
+            return None, (
+                f"k-major gather window (base {c}, stride {dk}) not aligned "
+                f"to one pdf group of the (R, {W}) state rows"
+            )
         # xg_k = a4[k, g0, :, l0 : l0+Sm]
         plan["g"] = ("row", (c % W) // cmax, (c % W) % cmax)
     elif gdesc[0] == "affine_s_major":
         _, gb, ds, gc0 = gdesc
         if (ds != W or gb % W or gb // W + Sm > R or gc0 % cmax
                 or K != cmax):
-            return None
+            return None, (
+                f"s-major gather window (base {gb}, stride {ds}) not a "
+                f"row-aligned lane column of the (R, {W}) state rows"
+            )
         # staged: t = transpose(a4[r0:r0+Sm, g0, :, :]); xg_k = t[k]
         plan["g"] = ("col", gb // W, gc0 // cmax)
     else:
-        return None
+        return None, f"non-affine tier gather pattern {gdesc[0]!r}"
 
     if ddesc[0] in ("affine_d_pad", "affine_d"):
         base = ddesc[1]
         dd = W if ddesc[0] == "affine_d" else ddesc[2]
         c0 = 0 if ddesc[0] == "affine_d" else ddesc[3]
         if dd != W or base % W or base // W + D > R or c0 % cmax or K != cmax:
-            return None
+            return None, (
+                f"d-affine scatter window (base {base}, stride {dd}) not a "
+                f"row-aligned lane column of the (R, {W}) state rows"
+            )
         # staged: y4[r0:r0+D, g0, :, :] += transpose(t)
         plan["s"] = ("col", base // W, c0 // cmax)
     elif ddesc[0] in ("affine_k_pad", "contig"):
@@ -136,77 +157,107 @@ def _dir_plan(op, meta, W, R, cmax):
             _, base, dk2, c02 = ddesc
         c = base + c02
         if dk2 != W or c // W != 0 or (c % W) % cmax + D > cmax:
-            return None
+            return None, (
+                f"k-affine scatter window (base {c}, stride {dk2}) not "
+                f"aligned to one pdf group of the (R, {W}) state rows"
+            )
         # y4[k, g0, :, l0 : l0+D] += yk
         plan["s"] = ("row", (c % W) // cmax, (c % W) % cmax)
     else:
-        return None
-    return plan
+        return None, f"non-affine tier scatter pattern {ddesc[0]!r}"
+    return plan, None
 
 
 def _full_plan(cf):
     """(W, R, plan_fwd, plan_bwd) or None."""
+    plan, _ = _full_plan_explain(cf)
+    return plan
+
+
+def _full_plan_explain(cf):
+    """((W, R, plan_fwd, plan_bwd), None) or (None, reason)."""
     ops = (cf.block_fwd, cf.block_bwd)
     metas = (cf.block_fwd_offsets, cf.block_bwd_offsets)
     W = None
     for op, meta in zip(ops, metas):
-        if op.res_src is not None or len(op.tiers) != 1:
-            return None
+        if op.res_src is not None:
+            return None, "residue edges present"
+        if len(op.tiers) != 1:
+            return None, f"{len(op.tiers)} tiers (kernel supports exactly 1)"
         for desc in meta[1][0]:
             if desc[0] in ("affine_k_major", "affine_s_major",
                            "affine_k_pad", "affine_d_pad"):
                 W = desc[2]
                 break
-    if not W or W % 128:
-        return None
+    if not W:
+        return None, "no affine tier descriptor to derive the row width from"
+    if W % 128:
+        return None, f"tier stride {W} not a multiple of 128 lanes"
     Sp = cf.padded_states
     cmax, lim = cf.pdf_group
     if W % cmax:
-        return None
+        return None, f"row width {W} not a multiple of pdf-group size {cmax}"
     K = cf.block_fwd.tiers[0][0].shape[0]
     R = max(K, cf.block_bwd.tiers[0][0].shape[0])
     if R * W > Sp:
-        return None
+        return None, f"R*W = {R * W} exceeds padded states {Sp}"
     tail = Sp - R * W
     fin = int(cf.final_state)
-    if fin < R * W or tail % cmax or tail <= 0 or tail % 128:
-        return None
-    pf = _dir_plan(cf.block_fwd, cf.block_fwd_offsets, W, R, cmax)
-    pb = _dir_plan(cf.block_bwd, cf.block_bwd_offsets, W, R, cmax)
-    if pf is None or pb is None:
-        return None
+    if fin < R * W:
+        return None, "phony final state not in the tail region"
+    if tail % cmax or tail <= 0 or tail % 128:
+        return None, f"tail size {tail} not lane/pdf-group aligned"
+    pf, rf = _dir_plan_explain(cf.block_fwd, cf.block_fwd_offsets, W, R, cmax)
+    if pf is None:
+        return None, f"forward operator: {rf}"
+    pb, rb = _dir_plan_explain(cf.block_bwd, cf.block_bwd_offsets, W, R, cmax)
+    if pb is None:
+        return None, f"backward operator: {rb}"
     # band weights must vanish on the tail (the rank-1 ω split owns it) —
     # checked via static build-time metadata (meta[2]), never device arrays
     for meta in metas:
-        if len(meta) > 2 and meta[2] > R * W:
-            return None
         if len(meta) <= 2:
-            return None  # legacy meta without the extent: fall back
-    return W, R, pf, pb
+            return None, "legacy operator metadata without band extent"
+        if meta[2] > R * W:
+            return None, "band weights extend into the tail region"
+    return (W, R, pf, pb), None
 
 
-def block_scan_supported(cf, B: int) -> bool:
-    if (
-        cf.strategy != "block"
-        or cf.batched
-        or not cf.pdf_group
-        or cf.omega_prob is None
-        or getattr(cf, "multi_pdf", False)
-    ):
-        return False
+def block_scan_reject_reason(cf, B: int):
+    """None when the fused blocked scan accepts this graph, else a one-line
+    reason naming the FIRST rejected predicate (the fast-path cliff made
+    visible; see inference.fast_path_report)."""
+    if cf.strategy != "block":
+        return f"strategy {cf.strategy!r} != 'block'"
+    if cf.batched:
+        return "batched CompiledFSM (the fused scan targets one shared graph)"
+    if not cf.pdf_group:
+        return ("no uniform pdf-grouped layout (compile_fsm reorder "
+                "declined or disabled)")
+    if cf.omega_prob is None:
+        return "no rank-1 omega split"
+    if getattr(cf, "multi_pdf", False):
+        return "general multi-pdf C-hat (fused scan needs one pdf per state)"
     cmax, lim = cf.pdf_group
     if (cf.num_pdfs + 1) * cmax != lim:
-        return False
-    plan = _full_plan(cf)
+        return "pdf-grouped layout not uniform over all pdfs"
+    plan, reason = _full_plan_explain(cf)
     if plan is None:
-        return False
+        return reason
     W, R, pf, pb = plan
     Bh = min(B, _BH)
     state = R * W * Bh * 4
     Wt = cf.block_fwd.tiers[0][2]
     # two state scratches + one double-buffered stream + weights + temps
     need = 2 * state + 2 * state + Wt.size * 4 + 1.5 * state + 4e6
-    return need <= 110 * 1024 * 1024
+    if need > 110 * 1024 * 1024:
+        return (f"VMEM working set ~{need / 1e6:.0f} MB exceeds the 110 MB "
+                f"budget (R*W = {R * W}, Bh = {Bh})")
+    return None
+
+
+def block_scan_supported(cf, B: int) -> bool:
+    return block_scan_reject_reason(cf, B) is None
 
 
 # ---------------------------------------------------------------------------

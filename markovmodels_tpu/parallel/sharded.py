@@ -699,10 +699,12 @@ def sharded_logmarginal(
 ):
     """Differentiable sharded total log-marginal (gradient = posteriors),
     same surrogate construction as inference.logmarginal."""
+    from ..inference import _stop_gradient_floats
+
     lhs = jnp.asarray(lhs)
     lhs_sg = lax.stop_gradient(lhs)
     posts, logZ = sharded_pdfposteriors(
-        jax.tree.map(lax.stop_gradient, sf),
+        _stop_gradient_floats(sf),
         lhs_sg,
         lengths,
         mesh=mesh,
@@ -729,10 +731,12 @@ def sharded_logmarginal_prob(
     gradient w.r.t. ``lhs`` = pdf posteriors, via the same first-order
     surrogate as inference.logmarginal (the posterior-form gradient is exact
     for the log-marginal of a linear emission model)."""
+    from ..inference import _stop_gradient_floats
+
     lhs = jnp.asarray(lhs)
     lhs_sg = lax.stop_gradient(lhs)
     posts, logZ = sharded_pdfposteriors_prob(
-        jax.tree.map(lax.stop_gradient, sf),
+        _stop_gradient_floats(sf),
         lhs_sg,
         lengths,
         mesh=mesh,

@@ -39,6 +39,22 @@ __all__ = ["timesharded_forward", "timesharded_pdfposteriors"]
 NEG_INF = float("-inf")
 
 
+def _expand_rows(cf: CompiledFSM, ext, prec):
+    """Per-state emission rows (B, Sp) from extended pdf rows ``ext``
+    (B, P1).  One-pdf-per-state graphs gather through ``state_pdf``; a
+    general Ĉ (``cf.multi_pdf``) sums each state's pdf set via the binary
+    ``pdf_onehot`` matmul (the Ĉ·V̂ expansion, inference._make_eprob) —
+    ``state_pdf`` is only a representative pdf there and reading it would
+    silently return wrong emissions."""
+    if cf.multi_pdf:
+        return jnp.einsum(
+            "bp,ps->bs", ext, cf.pdf_onehot,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    P1 = cf.num_pdfs + 1
+    return ext[:, cf.state_pdf.clip(0, P1 - 1)]
+
+
 def timesharded_forward(
     cf: CompiledFSM,
     lhs,
@@ -95,7 +111,7 @@ def timesharded_forward(
             ext = jnp.concatenate(
                 [el * active[:, None], jnp.zeros((B, 1), lhs_t.dtype)], axis=1
             )  # (B, P1)
-            e = ext[:, cf.state_pdf.clip(0, P1 - 1)]  # (B, Sp)
+            e = _expand_rows(cf, ext, prec)  # (B, Sp)
             e = jnp.where(
                 active[:, None], e, is_ph[None, :]
             )
@@ -214,7 +230,7 @@ def timesharded_pdfposteriors(
                 [el * active[:, None], jnp.zeros((B, 1), lhs_t.dtype)],
                 axis=1,
             )
-            e = ext[:, cf.state_pdf.clip(0, P1 - 1)]
+            e = _expand_rows(cf, ext, prec)
             return jnp.where(active[:, None], e, is_ph[None, :])
 
         # phase 1: fold the local chunk operator

@@ -273,3 +273,51 @@ def test_fused_block_forward_only(graph, pallas_on):
     finally:
         del os.environ["MMTPU_NO_PALLAS"]
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-5)
+
+
+def test_lfmmi_grad_jits_through_fused_block(graph, pallas_on):
+    """jit(value_and_grad(lfmmi_loss)) with a block-strategy denominator:
+    logmarginal's stop_gradient must leave integer fields (final_state,
+    index arrays) CONCRETE so the fused path's static plan extraction
+    works under tracing (round-4 regression: a blanket tree_map
+    stop_gradient broke ``int(cf.final_state)`` in block_fused_fb)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from markovmodels_tpu.fsm import FSM
+    from markovmodels_tpu.labels import Label
+    from markovmodels_tpu.semiring import LOG
+
+    cf, P = graph
+    B, N = 2, 3
+    rng = np.random.default_rng(5)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([3, 3], dtype=jnp.int32)
+
+    num_cfs = []
+    for b in range(B):
+        seq = rng.integers(0, P, size=2)
+        arcs = [((0, 0), np.log(0.5)), ((1, 1), np.log(0.5)),
+                ((0, 1), np.log(0.5))]
+        f = FSM.from_pairs(
+            [(0, 0.0)], arcs, [(1, np.log(0.5))],
+            [Label(int(s)) for s in seq], LOG,
+        )
+        num_cfs.append(
+            inf.compile_fsm(f, np.append(seq, P).astype(np.int32), P,
+                            strategy="dense")
+        )
+    num_cf = inf.stack(num_cfs)
+
+    run = jax.jit(jax.value_and_grad(
+        lambda l: inf.lfmmi_loss(num_cf, cf, l, lens).sum()
+    ))
+    loss, grad = run(lhs)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()
+    # gradient identity: d loss / d lhs = gamma_den - gamma_num
+    pd, _ = inf.pdfposteriors(cf, lhs, lens)
+    pn, _ = inf.pdfposteriors(num_cf, lhs, lens)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(pd) - np.asarray(pn), atol=1e-5
+    )
