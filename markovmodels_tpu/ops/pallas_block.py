@@ -61,6 +61,8 @@ __all__ = [
     "block_scan_supported",
     "block_scan_reject_reason",
     "block_fused_fb",
+    "vit_scan_supported",
+    "block_fused_viterbi_fwd",
 ]
 
 _PRECISIONS = {
@@ -783,3 +785,338 @@ class _Frozen(dict):
             tuple(sorted((k, tuple(v) if isinstance(v, tuple) else v)
                          for k, v in self.items()))
         )
+
+
+# ---------------------------------------------------------------------------
+# fused tropical forward (Viterbi compressed-backpointer sweep)
+# ---------------------------------------------------------------------------
+#
+# The tropical max-product matvec has no MXU analog, so this sweep is
+# VPU-bound; under lax.scan XLA reaches only ~19% of the VPU roofline on it
+# (measured 731 us/frame at the 2M shape, see bench stderr).  This kernel
+# keeps operator + state VMEM-resident like the prob-domain scan and
+# processes the tier in KC-block chunks: per chunk one broadcast
+# multiply, one max-reduce (the value) and one equality/min-reduce pass
+# (the uint8 candidate id), all over (KC, Bh, Sm, D) buffers with the
+# 128-wide destination axis on the lanes.  Per frame it emits the merged
+# band/tier candidate ids (uint8, same encoding as
+# ops.blocked.block_matvec_max_arg: cand < Sm = tier source position,
+# Sm+oi = band offset, 255 = no incoming mass) plus the rank-1 omega
+# argmax, so the backtrace stays the trivial gather walk of
+# viterbi._viterbi_scale_bp.
+
+_VIT_KC = 8  # tier blocks per inner step (product stays fused, no scratch)
+
+
+def _make_vit_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec, KC):
+    offs = plan["band_offsets"]
+    K, Sm, D = plan["K"], plan["Sm"], plan["D"]
+    g, s = plan["g"], plan["s"]
+    RG = R * Gp
+    BIG = 2**30  # python int: a jnp scalar here would be a captured const
+
+    def shift_rows(a, m):
+        if m == 0:
+            return a
+        z = jnp.zeros((abs(m), Bh, cmax), jnp.float32)
+        if m > 0:
+            return jnp.concatenate([z, a[:-m]], axis=0)
+        return jnp.concatenate([a[-m:], z], axis=0)
+
+    def kernel(band_ref, W_ref, om_ref, omt_ref, al_ref, alt_ref,
+               em_ref, et_ref, msh_ref,
+               bp_ref, fin_ref, vfin_ref, shift_ref, ksum_ref,
+               a4_scr, at_scr, y4_scr, c4_scr, yv_scr, cv_scr,
+               sh_scr, co_scr, ks_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            a4_scr[:] = jnp.broadcast_to(
+                al_ref[:].reshape(R, Gp, 1, cmax), (R, Gp, Bh, cmax)
+            )
+            at_scr[:] = jnp.broadcast_to(alt_ref[:], (Bh, tail))
+            sh_scr[:] = jnp.zeros_like(sh_scr)
+            co_scr[:] = jnp.zeros_like(co_scr)
+            ks_scr[:] = jnp.zeros_like(ks_scr)
+
+        a4 = a4_scr[:]
+        at = at_scr[:]
+        a_rg = a4.reshape(RG, Bh, cmax)
+
+        # rank-1 omega transition into the phony final state: value +
+        # argmax source (flat compiled-state id)
+        omc = om_ref[:].reshape(RG, 1, cmax) * a_rg  # (RG, Bh, cmax)
+        m1 = jnp.max(omc, axis=(0, 2))  # (Bh,)
+        omt_c = omt_ref[:] * at  # (Bh, tail)
+        m2 = jnp.max(omt_c, axis=1)
+        fin_v = jnp.maximum(m1, m2)
+        flat_main = (
+            lax.broadcasted_iota(jnp.int32, (RG, Bh, cmax), 0) * cmax
+            + lax.broadcasted_iota(jnp.int32, (RG, Bh, cmax), 2)
+        )
+        cand_main = jnp.min(
+            jnp.where(omc == m1[None, :, None], flat_main, BIG), axis=(0, 2)
+        )
+        tail_ids = RG * cmax + lax.broadcasted_iota(
+            jnp.int32, (Bh, tail), 1
+        )
+        cand_tail = jnp.min(
+            jnp.where(omt_c == m2[:, None], tail_ids, BIG), axis=1
+        )
+        fin_arg = jnp.where(m1 >= m2, cand_main, cand_tail)  # (Bh,)
+
+        # band families: value + candidate id (Sm + offset index)
+        y = jnp.zeros((RG, Bh, cmax), jnp.float32)
+        c = jnp.full((RG, Bh, cmax), 255, jnp.int32)
+        for oi, off in enumerate(offs):
+            prod_b = band_ref[oi][:, None, :] * shift_rows(a_rg, off // cmax)
+            upd = prod_b > y
+            y = jnp.where(upd, prod_b, y)
+            c = jnp.where(upd, Sm + oi, c)
+        y4_scr[:] = y.reshape(R, Gp, Bh, cmax)
+        c4_scr[:] = c.reshape(R, Gp, Bh, cmax)
+
+        # tier: chunked max-product with candidate recovery.  The product
+        # is NOT materialized: both reductions consume the broadcast
+        # multiply as a fused expression (a scratch round-trip measured
+        # ~1.4x slower than XLA's fused variadic reduce; this version
+        # keeps the elementwise producer inside each reduction loop).
+        def chunk(q, _):
+            ks = q * KC
+            if g[0] == "row":
+                _, g0, l0 = g
+                Xc = a4_scr[pl.ds(ks, KC), g0, :, l0 : l0 + Sm]  # (KC,Bh,Sm)
+            else:
+                _, r0, g0 = g
+                # col gather: sources are a lane column across Sm rows —
+                # stage through a transpose of the (Sm, Bh) slab per k
+                Xc = jnp.transpose(
+                    a4_scr[r0 : r0 + Sm, g0, :, pl.ds(ks, KC)], (2, 1, 0)
+                )  # (KC, Bh, Sm)
+            Wc = W_ref[pl.ds(ks, KC)]  # (KC, Sm, D)
+            Xc4 = Xc[:, :, :, None]
+            Wc4 = Wc[:, None, :, :]
+            ym = jnp.max(Xc4 * Wc4, axis=2)  # (KC, Bh, D)
+            am = jnp.min(
+                jnp.where(
+                    Xc4 * Wc4 == ym[:, :, None, :],
+                    lax.broadcasted_iota(jnp.int32, (KC, Bh, Sm, D), 2),
+                    BIG,
+                ),
+                axis=2,
+            )  # (KC, Bh, D)
+            yv_scr[pl.ds(ks, KC)] = ym
+            cv_scr[pl.ds(ks, KC)] = am
+            return 0
+
+        lax.fori_loop(0, K // KC, chunk, 0)
+
+        # merge tier results into the band values (strict > keeps 255 on
+        # zero columns: a zero-weight padding product never wins)
+        if s[0] == "col":
+            _, r0s, g0s = s
+            yT = jnp.transpose(yv_scr[:], (2, 1, 0))  # (D, Bh, K=cmax)
+            cT = jnp.transpose(cv_scr[:], (2, 1, 0))
+            slab = y4_scr[r0s : r0s + D, g0s, :, :]
+            cslab = c4_scr[r0s : r0s + D, g0s, :, :]
+            upd = yT > slab
+            y4_scr[r0s : r0s + D, g0s, :, :] = jnp.where(upd, yT, slab)
+            c4_scr[r0s : r0s + D, g0s, :, :] = jnp.where(upd, cT, cslab)
+        else:
+            _, gs, ls = s
+            slab = y4_scr[0:K, gs, :, ls : ls + D]
+            cslab = c4_scr[0:K, gs, :, ls : ls + D]
+            yv = yv_scr[:]
+            cv = cv_scr[:]
+            upd = yv > slab
+            y4_scr[0:K, gs, :, ls : ls + D] = jnp.where(upd, yv, slab)
+            c4_scr[0:K, gs, :, ls : ls + D] = jnp.where(upd, cv, cslab)
+
+        # omega row into the tail (phony final column), t=0 override,
+        # emission multiply, exact power-of-two rescale
+        pt_cols = [fin_v[:, None]]
+        if finoff > 0:
+            pt_cols.insert(0, jnp.zeros((Bh, finoff), jnp.float32))
+        if tail - finoff - 1 > 0:
+            pt_cols.append(jnp.zeros((Bh, tail - finoff - 1), jnp.float32))
+        yt = (jnp.concatenate(pt_cols, axis=1)
+              if len(pt_cols) > 1 else pt_cols[0])
+        t_is_zero = i == 0
+        p4 = jnp.where(t_is_zero, a4, y4_scr[:])
+        pt = jnp.where(t_is_zero, at, yt)
+        e4 = em_ref[0].reshape(R, Gp, Bh)[:, :, :, None]
+        y4e = p4 * e4
+        yte = pt * et_ref[0]
+        m = _maxall(y4e, yte)
+        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+        sc = jnp.exp2(-k)
+        a4_scr[:] = y4e * sc[None, None, :, None]
+        at_scr[:] = yte * sc[:, None]
+        kt = ks_scr[:] + k[None, :]
+        ks_scr[:] = kt
+        x = msh_ref[0]
+        ss = sh_scr[:]
+        co = co_scr[:]
+        xc = x - co
+        t = ss + xc
+        sh_scr[:] = t
+        co_scr[:] = (t - ss) - xc
+
+        bp_ref[0] = c4_scr[:].reshape(RG, Bh, cmax).astype(jnp.uint8)
+        fin_ref[0, 0] = fin_arg
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            vfin_ref[:] = at_scr[:, finoff : finoff + 1]
+            shift_ref[:] = t
+            ksum_ref[:] = kt
+
+    return kernel
+
+
+def vit_scan_supported(cf, B: int) -> bool:
+    """Fused tropical sweep gate: the fused-fb predicates plus uint8
+    candidate range and no general-C (the kernel's emission broadcast
+    assumes one pdf per state)."""
+    if block_scan_reject_reason(cf, B) is not None:
+        return False
+    plan = _full_plan(cf)
+    W, R, pf, pb_ = plan
+    nO = len(pf["band_offsets"])
+    if pf["Sm"] + nO >= 255:
+        return False
+    return pf["K"] % _VIT_KC == 0 or pf["K"] < _VIT_KC
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _run_vit_slice(arrs, st):
+    """One <=64-sequence batch slice of the fused tropical sweep.  Returns
+    (bps (Npad, RG, Bh, cmax) uint8, fins (Npad, Bh) int32, vfin (Bh,),
+    shift (Bh,), ksum (Bh,))."""
+    (band_f, Wt_f, om, omt, al, alt, em, et, msh) = arrs
+    (Sp, P1, cmax, finoff, W, R, tail, plan_f, prec) = st
+    Gp = W // cmax
+    RG = R * Gp
+    Nf, _, Bh = em.shape
+    K = plan_f["K"]
+    KC = min(_VIT_KC, K)
+
+    interp = _interpret()
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
+    nO = band_f.shape[0]
+    Sm, D = plan_f["Sm"], plan_f["D"]
+
+    fr3 = lambda i: (i, 0, 0)
+
+    bps, fins, vfin, shift, ksum = pl.pallas_call(
+        _make_vit_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff, prec,
+                         KC),
+        grid=(Nf,),
+        in_specs=[
+            _const((nO, RG, cmax)),
+            _const((K, Sm, D)),
+            _const((RG, cmax)),
+            _const((1, tail)),
+            _const((RG, cmax)),
+            _const((1, tail)),
+            pl.BlockSpec((1, RG, Bh), fr3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Bh), fr3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RG, Bh, cmax), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Bh), fr3, memory_space=pltpu.VMEM),
+            _const((Bh, 1)),
+            _const((1, Bh)),
+            _const((1, Bh)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Nf, RG, Bh, cmax), jnp.uint8),
+            jax.ShapeDtypeStruct((Nf, 1, Bh), jnp.int32),
+            jax.ShapeDtypeStruct((Bh, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
+            pltpu.VMEM((Bh, tail), jnp.float32),
+            pltpu.VMEM((R, Gp, Bh, cmax), jnp.float32),
+            pltpu.VMEM((R, Gp, Bh, cmax), jnp.int32),
+            pltpu.VMEM((K, Bh, D), jnp.float32),
+            pltpu.VMEM((K, Bh, D), jnp.int32),
+            pltpu.VMEM((1, Bh), jnp.float32),
+            pltpu.VMEM((1, Bh), jnp.float32),
+            pltpu.VMEM((1, Bh), jnp.float32),
+        ],
+        compiler_params=cparams,
+        interpret=interp,
+    )(band_f, Wt_f, om, omt, al, alt, em, et, msh)
+    return bps, fins[:, 0, :], vfin[:, 0], shift[0], ksum[0]
+
+
+def block_fused_viterbi_fwd(cf, ext, mshift):
+    """Fused tropical forward over all batch slices.  ``ext``/``mshift``
+    from ops.pallas_scan.prepare_emissions.  Returns (bps (Nf, R*W, B)
+    uint8 — candidate ids in block_matvec_max_arg's encoding for the MAIN
+    state region [0, R*W) — fins (Nf, B) int32 flat omega-argmax ids,
+    v_final (B,), shift (B,), ksum (B,))."""
+    plan = _full_plan(cf)
+    W, R, plan_f, _ = plan
+    Sp = cf.padded_states
+    tail = Sp - R * W
+    fin = int(cf.final_state)
+    cmax, lim = cf.pdf_group
+    Gp = W // cmax
+    RG = R * Gp
+    Gt = tail // cmax
+    Nf, P1, B = ext.shape
+    Bh = min(B, _BH)
+    Bp = -(-B // Bh) * Bh
+    if Bp != B:
+        ext = jnp.pad(ext, ((0, 0), (0, 0), (0, Bp - B)))
+        mshift = jnp.pad(mshift, ((0, 0), (0, 0), (0, Bp - B)))
+
+    st = (Sp, P1, cmax, fin - R * W, W, R, tail, _Frozen(plan_f),
+          cf.precision)
+    a0 = jnp.exp(cf.alpha_hat).astype(jnp.float32)
+    al = a0[: R * W].reshape(RG, cmax)
+    alt = a0[R * W :][None, :]
+
+    def band(op):
+        if op.band_w is None:
+            return jnp.zeros((1, RG, cmax), jnp.float32)
+        return op.band_w[:, : R * W].reshape(-1, RG, cmax)
+
+    om = cf.omega_prob[: R * W].reshape(RG, cmax)
+    omt = cf.omega_prob[R * W :][None, :]
+    em = ext[:, :RG, :]
+    et = jnp.transpose(
+        jnp.repeat(ext[:, RG : RG + Gt, :], cmax, axis=1), (0, 2, 1)
+    )
+
+    bps_all, fins_all, vfin_all, shift_all, ksum_all = [], [], [], [], []
+    for b0 in range(0, Bp, Bh):
+        sl = slice(b0, b0 + Bh)
+        arrs = (
+            band(cf.block_fwd), cf.block_fwd.tiers[0][2],
+            om, omt, al, alt,
+            em[:, :, sl], et[:, sl, :], mshift[:, :, sl],
+        )
+        bps, fins, vfin, shift, ksum = _run_vit_slice(arrs, st)
+        # (Nf, RG, Bh, cmax) -> (Nf, R*W, Bh) flat main-region state ids
+        bps_all.append(
+            jnp.transpose(bps, (0, 1, 3, 2)).reshape(Nf, R * W, Bh)
+        )
+        fins_all.append(fins)
+        vfin_all.append(vfin)
+        shift_all.append(shift)
+        ksum_all.append(ksum)
+
+    bps = jnp.concatenate(bps_all, axis=2)[:, :, :B]
+    fins = jnp.concatenate(fins_all, axis=1)[:, :B]
+    vfin = jnp.concatenate(vfin_all)[:B]
+    shift = jnp.concatenate(shift_all)[:B]
+    ksum = jnp.concatenate(ksum_all)[:B]
+    return bps, fins, vfin, shift, ksum

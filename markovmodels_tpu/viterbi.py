@@ -157,6 +157,32 @@ def _bp_vit_ok(cf: CompiledFSM, lhs) -> bool:
     return (N + 1) * cf.padded_states * B <= _BP_MEM_BYTES
 
 
+def _vit_pallas_ok(cf: CompiledFSM, lhs) -> bool:
+    """Opt-in (MMTPU_VIT_PALLAS=1) fused tropical Pallas sweep.
+
+    NOT the default: measured at the 2M benchmark shape, the Pallas sweep
+    (operator + state VMEM-resident, fused broadcast-max chunks) runs
+    0.97-0.99 s vs the XLA lax.scan bp sweep's 0.69 s — XLA's variadic
+    (max, argmax) reduce codegen beats Mosaic's broadcast-reduce lowering
+    for this VPU-bound pattern (~13% vs ~9% of the VPU ALU bound; see
+    bench.py's roofline analysis).  Kept behind the flag as the measured
+    counter-experiment and for future Mosaic codegen improvements; parity
+    is tested (tests/test_pallas_block.py)."""
+    import os
+
+    from .ops import pallas_block as pb
+
+    if not os.environ.get("MMTPU_VIT_PALLAS"):
+        return False
+    if os.environ.get("MMTPU_NO_PALLAS") or os.environ.get("MMTPU_NO_VITBP"):
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "MMTPU_PALLAS_INTERPRET"
+    ):
+        return False
+    return pb.vit_scan_supported(cf, lhs.shape[0])
+
+
 def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
     """Backpointer-based Viterbi for 'block' graphs with a single affine
     tier: ONE tropical forward sweep that records, per frame and state, the
@@ -183,45 +209,65 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
     K, Sm = sidx.shape
     nO = len(cf.block_fwd_offsets[0])
 
-    lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Nf - N), (0, 0), (0, 0)))
-    ts = jnp.arange(Nf, dtype=jnp.int32)
-    eprob = _make_eprob(cf, lengths, op="max")
-    a0 = jnp.broadcast_to(jnp.exp(cf.alpha_hat)[:, None], (Sp, B)).astype(
-        lhs.dtype
-    )
-    zero = jnp.zeros(B, lhs.dtype)
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 0)
+    if _vit_pallas_ok(cf, lhs):
+        # fused tropical Pallas sweep: operator + state VMEM-resident,
+        # bps cover the main region [0, R*W) (tail states never carry
+        # decodable mass — the walk guards them to 255)
+        from .ops import pallas_block as pb
+        from .ops import pallas_scan as ps
 
-    def fstep(carry, inp):
-        a, ksum, shift, comp = carry
-        lhs_t, t = inp
-        # rank-1 ω transition into phony: value + argmax source
-        fin_v, fin_a = _maxarg(omega_p[:, None] * a, bidx, 0)
-        y, cand = block_matvec_max_arg(
-            cf.block_fwd, cf.block_fwd_offsets, a
+        ext, mshift = ps.prepare_emissions(lhs, lengths, P)
+        bps, fins, vfin, sF, kF = pb.block_fused_viterbi_fwd(cf, ext, mshift)
+        score = _combine_shift(
+            jnp.where(vfin > 0, jnp.log(jnp.maximum(vfin, 1e-38)), NEG_INF),
+            kF,
+            sF,
         )
-        y = y.at[fin_idx].set(fin_v)
-        p = jnp.where(t == 0, a, y)
-        e, m_l = eprob(lhs_t, t)
-        y = p * e
-        m = jnp.max(y, axis=0)
-        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
-        y = y * jnp.exp2(-k)[None, :]
-        shift, comp = _kahan_add(shift, comp, m_l)
-        return (y, ksum + k, shift, comp), (
-            cand.astype(jnp.uint8),
-            fin_a.astype(jnp.int32),
+    else:
+        lhs_tm = jnp.pad(
+            jnp.moveaxis(lhs, 1, 0), ((0, Nf - N), (0, 0), (0, 0))
+        )
+        ts_sc = jnp.arange(Nf, dtype=jnp.int32)
+        eprob = _make_eprob(cf, lengths, op="max")
+        a0 = jnp.broadcast_to(
+            jnp.exp(cf.alpha_hat)[:, None], (Sp, B)
+        ).astype(lhs.dtype)
+        zero = jnp.zeros(B, lhs.dtype)
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 0)
+
+        def fstep(carry, inp):
+            a, ksum, shift, comp = carry
+            lhs_t, t = inp
+            # rank-1 ω transition into phony: value + argmax source
+            fin_v, fin_a = _maxarg(omega_p[:, None] * a, bidx, 0)
+            y, cand = block_matvec_max_arg(
+                cf.block_fwd, cf.block_fwd_offsets, a
+            )
+            y = y.at[fin_idx].set(fin_v)
+            p = jnp.where(t == 0, a, y)
+            e, m_l = eprob(lhs_t, t)
+            y = p * e
+            m = jnp.max(y, axis=0)
+            k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+            y = y * jnp.exp2(-k)[None, :]
+            shift, comp = _kahan_add(shift, comp, m_l)
+            return (y, ksum + k, shift, comp), (
+                cand.astype(jnp.uint8),
+                fin_a.astype(jnp.int32),
+            )
+
+        (aF, kF, sF, _), (bps, fins) = lax.scan(
+            fstep, (a0, zero, zero, zero), (lhs_tm, ts_sc)
+        )
+        v = jnp.take(aF, fin_idx, axis=0)
+        score = _combine_shift(
+            jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
         )
 
-    (aF, kF, sF, _), (bps, fins) = lax.scan(
-        fstep, (a0, zero, zero, zero), (lhs_tm, ts)
-    )
-    v = jnp.take(aF, fin_idx, axis=0)
-    score = _combine_shift(
-        jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF), kF, sF
-    )
-
-    # backtrace: decode candidate ids to source states
+    # backtrace: decode candidate ids to source states.  ``bps`` may cover
+    # only the first RWc states (the fused sweep's main region): states
+    # beyond it (the ω tail) never carry decodable mass -> candidate 255.
+    RWc = bps.shape[1]
     k_of = jnp.asarray(tier_dst_inverse(cf.block_fwd, Sp))
     sidx_flat = sidx.reshape(-1)
     offs = jnp.asarray(
@@ -231,10 +277,12 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
     )
     fin_b = jnp.broadcast_to(fin_idx, (B,)).astype(jnp.int32)
     bcol = jnp.arange(B)
+    ts = jnp.arange(Nf, dtype=jnp.int32)
 
     def wstep(s, inp):
         cand_t, fin_t, t = inp
-        c = cand_t[s, bcol].astype(jnp.int32)
+        c = cand_t[jnp.minimum(s, RWc - 1), bcol].astype(jnp.int32)
+        c = jnp.where(s < RWc, c, 255)
         tier_src = sidx_flat[
             jnp.clip(k_of[s], 0, K - 1) * Sm + jnp.clip(c, 0, Sm - 1)
         ]

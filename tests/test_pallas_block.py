@@ -321,3 +321,60 @@ def test_lfmmi_grad_jits_through_fused_block(graph, pallas_on):
     np.testing.assert_allclose(
         np.asarray(grad), np.asarray(pd) - np.asarray(pn), atol=1e-5
     )
+
+
+def test_fused_viterbi_sweep_matches_xla_bp(graph, raw_graph, pallas_on,
+                                            monkeypatch):
+    """Fused tropical Pallas sweep vs the XLA compressed-bp scan: equal
+    scores, and each decoded path must be valid + optimal in exact f64
+    (ties may break differently between the two sweeps)."""
+    from markovmodels_tpu import viterbi as vit
+
+    cf, P = graph
+    B, N = 8, 4
+    rng = np.random.default_rng(17)
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([4, 3, 4, 2, 3, 4, 4, 3], dtype=jnp.int32)
+
+    monkeypatch.setenv("MMTPU_VIT_PALLAS", "1")
+    assert vit._vit_pallas_ok(cf, lhs)
+    s1, z1 = vit.viterbi(cf, lhs, lens)  # fused pallas sweep
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    assert not vit._vit_pallas_ok(cf, lhs)
+    s0, z0 = vit.viterbi(cf, lhs, lens)  # XLA bp sweep
+
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-5)
+
+    import scipy.sparse as sp
+
+    from markovmodels_tpu import hostsparse as hs
+
+    fsm, spdf = raw_graph[0], raw_graph[1]
+    rows, cols, data = hs.findnz(fsm.T_hat)
+    S1 = len(fsm.alpha_hat)
+    T = sp.csr_matrix(
+        (np.asarray(data, dtype=np.float64), (rows, cols)), shape=(S1, S1)
+    )
+    T.sort_indices()
+
+    def arc_w(i, j):
+        lo, hi = T.indptr[i], T.indptr[i + 1]
+        k = lo + np.searchsorted(T.indices[lo:hi], j)
+        return T.data[k] if k < hi and T.indices[k] == j else -np.inf
+
+    a0 = np.asarray(fsm.alpha_hat, dtype=np.float64)
+    lhs_np = np.asarray(lhs)
+    for states, score in ((np.asarray(s1), np.asarray(z1)),
+                          (np.asarray(s0), np.asarray(z0))):
+        for b in range(B):
+            L = int(lens[b])
+            if not np.isfinite(score[b]):
+                continue
+            path = states[b, :L]
+            w = a0[path[0]] + float(
+                lhs_np[b, np.arange(L), spdf[path]].astype(np.float64).sum()
+            )
+            for t in range(L - 1):
+                w += arc_w(path[t], path[t + 1])
+            w += arc_w(path[L - 1], S1 - 1)
+            np.testing.assert_allclose(w, float(score[b]), atol=1e-4)
