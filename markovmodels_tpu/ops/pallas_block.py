@@ -74,6 +74,13 @@ _PRECISIONS = {
     "f32": jax.lax.Precision.HIGHEST,
 }
 _BH = 64  # batch slice per kernel call (sublane-friendly, VMEM-sized)
+# Rescale cadence: the exact power-of-two rescale (max-reduce + scale, ~2
+# full passes over the state) runs every _RS-th frame instead of every
+# frame — sub-stochastic operators and max-1 emissions keep values in
+# [~1e-9, 2] between rescales, far inside f32 range.  The cadence is a
+# function of the ABSOLUTE frame id, so the fwd sweep and the chunk
+# recompute make identical scaling decisions.
+_RS = 4
 
 
 def _interpret() -> bool:
@@ -304,11 +311,20 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
         return jnp.concatenate([a[-m:], z], axis=0)
 
     def matvec(a4_scr, band_ref, W_ref, y4_scr, t3_scr):
-        # band: pure group-row shifts (offsets are multiples of cmax)
+        # band: pure group-row shifts (offsets are multiples of cmax);
+        # the first offset initializes y directly (a zeros init + combine
+        # costs an extra full pass over the state per frame)
         a_rg = a4_scr[:].reshape(RG, Bh, cmax)
-        y = jnp.zeros((RG, Bh, cmax), jnp.float32)
-        for oi, off in enumerate(offs):
-            y = combine(y, band_ref[oi][:, None, :] * shift_rows(a_rg, off // cmax))
+        if offs:
+            y = band_ref[0][:, None, :] * shift_rows(a_rg, offs[0] // cmax)
+            for oi in range(1, len(offs)):
+                y = combine(
+                    y,
+                    band_ref[oi][:, None, :]
+                    * shift_rows(a_rg, offs[oi] // cmax),
+                )
+        else:
+            y = jnp.zeros((RG, Bh, cmax), jnp.float32)
         y4_scr[:] = y.reshape(R, Gp, Bh, cmax)
 
         if g[0] == "col":
@@ -387,14 +403,21 @@ def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec):
         p4 = jnp.where(t_is_zero, a4, y4_scr[:])
         pt = jnp.where(t_is_zero, at, pt)
         e4 = em.reshape(R, Gp, Bh)[:, :, :, None]
-        y4 = p4 * e4
-        yt = pt * et
-        m = _maxall(y4, yt)
-        k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)  # (Bh,)
-        sc = jnp.exp2(-k)
-        return (y4 * sc[None, None, :, None], yt * sc[:, None], k[None, :])
+        return p4 * e4, pt * et
 
     return step
+
+
+def _rescale(a4_scr, at_scr, ks_scr):
+    """Exact power-of-two rescale of the carried state, accumulated into
+    the integer-exponent scratch (applied every _RS-th frame)."""
+    m = _maxall(a4_scr[:], at_scr[:])
+    k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
+    sc = jnp.exp2(-k)
+    a4_scr[:] = a4_scr[:] * sc[None, None, :, None]
+    at_scr[:] = at_scr[:] * sc[:, None]
+    if ks_scr is not None:
+        ks_scr[:] = ks_scr[:] + k[None, :]
 
 
 def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
@@ -422,12 +445,10 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
             b3_ref[0] = a4_scr[:].reshape(RG, Bh, cmax)
             bt_ref[0] = at_scr[:]
 
-        y4, yt, k = step(
+        y4, yt = step(
             i == 0, a4_scr, at_scr, band_ref, W_ref, om_ref, omt_ref,
             em_ref[0], et_ref[0], y4_scr, t3_scr,
         )
-        kt = ks_scr[:] + k
-        ks_scr[:] = kt
         x = msh_ref[0]
         ss = sh_scr[:]
         c = co_scr[:]
@@ -438,11 +459,15 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
         a4_scr[:] = y4
         at_scr[:] = yt
 
+        @pl.when((i % _RS == _RS - 1) | (i == pl.num_programs(0) - 1))
+        def _():
+            _rescale(a4_scr, at_scr, ks_scr)
+
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
-            vfin_ref[:] = yt[:, finoff : finoff + 1]
+            vfin_ref[:] = at_scr[:, finoff : finoff + 1]
             shift_ref[:] = t
-            ksum_ref[:] = kt
+            ksum_ref[:] = ks_scr[:]
 
     return kernel
 
@@ -461,14 +486,24 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
             a4_scr[:] = b3_ref[:].reshape(R, Gp, Bh, cmax)
             at_scr[:] = bt_ref[:]
 
-        y4, yt, _ = step(
-            t0_ref[0] + j == 0, a4_scr, at_scr, band_ref, W_ref,
+        tt = t0_ref[0] + j
+        y4, yt = step(
+            tt == 0, a4_scr, at_scr, band_ref, W_ref,
             om_ref, omt_ref, em_ref[0], et_ref[0], y4_scr, t3_scr,
         )
         a4_scr[:] = y4
         at_scr[:] = yt
-        a3_out[0] = y4.reshape(RG, Bh, cmax)
-        at_out[0] = yt
+
+        @pl.when(tt % _RS == _RS - 1)
+        def _():
+            # same cadence as the fwd sweep -> identical scaling decisions
+            # between checkpoints (per-frame alpha SCALE is free for the
+            # backward pass — gamma is normalized per frame — but the
+            # range protection must match)
+            _rescale(a4_scr, at_scr, None)
+
+        a3_out[0] = a4_scr[:].reshape(RG, Bh, cmax)
+        at_out[0] = at_scr[:]
 
     return kernel
 
@@ -501,10 +536,6 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         last = t == Npad - 1
         y4 = jnp.where(last, jnp.ones_like(y4), y4)
         yt = jnp.where(last, jnp.ones_like(yt), yt)
-        m = _maxall(y4, yt)
-        sc = jnp.exp2(-jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0))
-        y4 = y4 * sc[None, None, :, None]
-        yt = yt * sc[:, None]
         g4 = a3_ref[0].reshape(R, Gp, Bh, cmax) * y4
         gt = at_ref[0] * yt
         # pdf reduction: lane sums -> (RG, Bh) main + (Gt, Bh) tail
@@ -518,6 +549,10 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         e4 = em_ref[0].reshape(R, Gp, Bh)[:, :, :, None]
         b4_scr[:] = y4 * e4
         bt_scr[:] = yt * et_ref[0]
+
+        @pl.when(t % _RS == 0)
+        def _():
+            _rescale(b4_scr, bt_scr, None)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
