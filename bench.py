@@ -407,10 +407,11 @@ def main():
         f"{tier_flops_frame / 1e6:.0f} MFLOP -> MXU speed-of-light "
         f"{mxu_sol_frame * 1e6:.1f} us/frame; MXU util "
         f"{3 * tier_flops_frame * (N + 1) / t_2m / 197e12:.1%} — the gap "
-        f"is per-frame serial VPU/layout work (band shifts, the staged "
-        f"transpose, rescale/Kahan) not the dots; next 2x = widening the "
-        f"per-step MXU work (larger Bh per kernel call) or fusing the "
-        f"band/transpose band into fewer VPU passes",
+        f"is per-frame elementwise VPU passes over the VMEM-resident "
+        f"state (band shifts, omega reduction, staged transpose, "
+        f"emission/rescale; a no-op kernel with the same streams measures "
+        f"0.1 us/grid-step, so grid overhead is nil); next 2x = "
+        f"cutting/fusing those passes, not more MXU",
         file=sys.stderr,
     )
 
