@@ -1129,62 +1129,57 @@ def fast_path_report(cf: CompiledFSM, batch_size: int = 128) -> str:
             return "fused-pallas-block (VMEM-resident blocked operator)"
         return f"xla lax.scan fallback - fused blocked scan rejected: {reason}"
     if cf.strategy == "dense":
-        from .ops import pallas_scan as ps
-
-        import os
-
-        if os.environ.get("MMTPU_NO_PALLAS"):
-            reason = "MMTPU_NO_PALLAS is set"
-        elif cf.domain != "prob":
-            reason = f"domain {cf.domain!r} != 'prob'"
-        elif cf.pdf_onehot is None:
-            reason = "no pdf one-hot reduction matrix"
-        elif cf.batched:
-            reason = "batched CompiledFSM"
-        elif cf.multi_pdf:
-            reason = "general multi-pdf C-hat"
-        elif jax.default_backend() != "tpu" and not os.environ.get(
-            "MMTPU_PALLAS_INTERPRET"
-        ):
-            reason = f"backend {jax.default_backend()!r} is not TPU"
-        elif not ps.pallas_scan_supported(
-            cf.padded_states, batch_size, cf.num_pdfs + 1
-        ):
-            reason = (f"VMEM working set too large for Sp = "
-                      f"{cf.padded_states}, B = {batch_size}")
-        else:
+        reason = _pallas_dense_reject_reason(cf, batch_size)
+        if reason is None:
             return "fused-pallas-dense (VMEM-resident dense operator)"
         return f"xla lax.scan fallback - fused dense scan rejected: {reason}"
     return (f"xla lax.scan ({cf.strategy!r} strategy; fused paths cover "
             "'dense' and 'block')")
 
 
-def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
+def _pallas_dense_reject_reason(cf: CompiledFSM, batch_size: int):
+    """None when the fused dense Pallas scan accepts this graph, else the
+    first rejected predicate.  Single source of truth shared by the
+    dispatcher (:func:`_pallas_ok`) and :func:`fast_path_report` so the
+    two cannot drift."""
     import os
 
     from .ops import pallas_scan as ps
 
     if os.environ.get("MMTPU_NO_PALLAS"):
-        return False
-    if not (
-        cf.strategy == "dense"
-        and cf.domain == "prob"
-        and cf.pdf_onehot is not None
-        and not cf.batched
-        # the fused backward normalizes by the state-space sum, which is
-        # only equal to the pdf-space sum when every state has one pdf
-        and not cf.multi_pdf
-    ):
-        return False
+        return "MMTPU_NO_PALLAS is set"
+    if cf.strategy != "dense":
+        return f"strategy {cf.strategy!r} != 'dense'"
+    if cf.domain != "prob":
+        return f"domain {cf.domain!r} != 'prob'"
+    if cf.pdf_onehot is None:
+        return "no pdf one-hot reduction matrix"
+    if cf.batched:
+        return "batched CompiledFSM"
+    # the fused backward normalizes by the state-space sum, which is only
+    # equal to the pdf-space sum when every state has one pdf
+    if cf.multi_pdf:
+        return "general multi-pdf C-hat"
+    if cf.alpha_hat.dtype != jnp.float32:
+        return (f"operator dtype {cf.alpha_hat.dtype} (fused kernels are "
+                "f32; the XLA path handles other dtypes)")
     # Off-TPU the kernels run in interpret mode — numerically identical but
     # slow, so it is opt-in (CI parity tests set MMTPU_PALLAS_INTERPRET=1).
     if jax.default_backend() != "tpu" and not os.environ.get(
         "MMTPU_PALLAS_INTERPRET"
     ):
-        return False
-    return ps.pallas_scan_supported(
-        cf.padded_states, lhs.shape[0], cf.num_pdfs + 1
-    )
+        return (f"backend {jax.default_backend()!r} is not TPU (set "
+                "MMTPU_PALLAS_INTERPRET=1 to force interpret mode)")
+    if not ps.pallas_scan_supported(
+        cf.padded_states, batch_size, cf.num_pdfs + 1
+    ):
+        return (f"VMEM working set too large for Sp = {cf.padded_states}, "
+                f"B = {batch_size}")
+    return None
+
+
+def _pallas_ok(cf: CompiledFSM, lhs) -> bool:
+    return _pallas_dense_reject_reason(cf, lhs.shape[0]) is None
 
 
 def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):

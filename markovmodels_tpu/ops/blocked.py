@@ -399,9 +399,10 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
                 "ksd,ksb->kdb",
                 W,
                 Xg,
-                # follow the state dtype so an f64-compiled operator (the
-                # bench's precision-floor probe) accumulates in f64
-                preferred_element_type=x.dtype,
+                # at least f32 accumulation always (bf16 state must NOT
+                # demote the Sm-wide contraction); an f64-compiled
+                # operator (the bench's precision-floor probe) promotes
+                preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
                 precision=precision,
             )
         if ddesc[0] == "contig":

@@ -74,13 +74,19 @@ _PRECISIONS = {
     "f32": jax.lax.Precision.HIGHEST,
 }
 _BH = 64  # batch slice per kernel call (sublane-friendly, VMEM-sized)
-# Rescale cadence: the exact power-of-two rescale (max-reduce + scale, ~2
-# full passes over the state) runs every _RS-th frame instead of every
-# frame — sub-stochastic operators and max-1 emissions keep values in
-# [~1e-9, 2] between rescales, far inside f32 range.  The cadence is a
-# function of the ABSOLUTE frame id, so the fwd sweep and the chunk
-# recompute make identical scaling decisions.
+# Rescale cadence: the exact power-of-two rescale (scale + exponent
+# bookkeeping, ~2 full passes over the state) runs every _RS-th frame
+# instead of every frame.  Values between rescales are bounded above by
+# ~2 (sub-stochastic operators, max-1 emissions) but NOT below — a frame
+# whose best reachable emission sits tens of nats under the frame max
+# shrinks the state by that factor (real acoustic log-likelihoods swing
+# 30+ nats), so a cheap per-frame max-reduce guards the cadence: when the
+# running max falls below 2^_RS_FLOOR the rescale fires immediately,
+# keeping the f32 state well above the subnormal range on ANY input
+# (found by adversarial review in round 4: two 60-nat frames inside one
+# 4-frame window underflowed the carried state to zero).
 _RS = 4
+_RS_FLOOR = -20
 
 
 def _interpret() -> bool:
@@ -240,6 +246,10 @@ def block_scan_reject_reason(cf, B: int):
         return f"strategy {cf.strategy!r} != 'block'"
     if cf.batched:
         return "batched CompiledFSM (the fused scan targets one shared graph)"
+    if cf.alpha_hat.dtype != jnp.float32:
+        # e.g. the dtype=float64 precision mode: kernels are f32-only
+        return (f"operator dtype {cf.alpha_hat.dtype} (fused kernels are "
+                "f32; the XLA path handles other dtypes)")
     if not cf.pdf_group:
         return ("no uniform pdf-grouped layout (compile_fsm reorder "
                 "declined or disabled)")
@@ -458,8 +468,13 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
         co_scr[:] = (t - ss) - xc
         a4_scr[:] = y4
         at_scr[:] = yt
+        m_g = jnp.min(_maxall(y4, yt))  # scalar underflow guard
 
-        @pl.when((i % _RS == _RS - 1) | (i == pl.num_programs(0) - 1))
+        @pl.when(
+            (i % _RS == _RS - 1)
+            | (i == pl.num_programs(0) - 1)
+            | (m_g < 2.0**_RS_FLOOR)
+        )
         def _():
             _rescale(a4_scr, at_scr, ks_scr)
 
@@ -494,12 +509,13 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
         a4_scr[:] = y4
         at_scr[:] = yt
 
-        @pl.when(tt % _RS == _RS - 1)
+        m_g = jnp.min(_maxall(y4, yt))
+
+        @pl.when((tt % _RS == _RS - 1) | (m_g < 2.0**_RS_FLOOR))
         def _():
-            # same cadence as the fwd sweep -> identical scaling decisions
-            # between checkpoints (per-frame alpha SCALE is free for the
-            # backward pass — gamma is normalized per frame — but the
-            # range protection must match)
+            # per-frame alpha SCALE is free for the backward pass (gamma
+            # is normalized per frame), so this cadence only protects
+            # f32 range — the underflow guard included
             _rescale(a4_scr, at_scr, None)
 
         a3_out[0] = a4_scr[:].reshape(RG, Bh, cmax)
@@ -550,7 +566,9 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         b4_scr[:] = y4 * e4
         bt_scr[:] = yt * et_ref[0]
 
-        @pl.when(t % _RS == 0)
+        m_g = jnp.min(_maxall(b4_scr[:], bt_scr[:]))
+
+        @pl.when((t % _RS == 0) | (m_g < 2.0**_RS_FLOOR))
         def _():
             _rescale(b4_scr, bt_scr, None)
 

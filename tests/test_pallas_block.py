@@ -378,3 +378,33 @@ def test_fused_viterbi_sweep_matches_xla_bp(graph, raw_graph, pallas_on,
                 w += arc_w(path[t], path[t + 1])
             w += arc_w(path[L - 1], S1 - 1)
             np.testing.assert_allclose(w, float(score[b]), atol=1e-4)
+
+
+def test_rescale_guard_survives_emission_cliffs(graph, pallas_on,
+                                                monkeypatch):
+    """Round-4 adversarial-review regression: with the strided rescale,
+    two consecutive frames whose frame-max pdf lies on states unreachable
+    for 2 frames (a 60-nat emission gap) underflowed the carried f32
+    state to zero inside one 4-frame window -> logZ = -inf.  The
+    per-frame max guard must fire and keep parity with the
+    every-frame-rescaling XLA path."""
+    cf, P = graph
+    B, N = 2, 6
+    K = 3
+    lhs = np.zeros((B, N, P), dtype=np.float32)
+    # pdfs of plane k=2 are unreachable until t=2 (left-to-right HMMs):
+    # put a +60-nat spike there on frames 0 and 1
+    k2 = np.arange(P).reshape(-1, K)[:, 2]
+    lhs[:, 0, k2] = 60.0
+    lhs[:, 1, k2] = 60.0
+    lhs = jnp.asarray(lhs)
+    lens = jnp.asarray([6, 5], dtype=jnp.int32)
+
+    p1, z1 = inf.pdfposteriors(cf, lhs, lens, chunk_size=4)
+    monkeypatch.setenv("MMTPU_NO_PALLAS", "1")
+    p0, z0 = inf.pdfposteriors(cf, lhs, lens, chunk_size=4)
+
+    assert np.isfinite(np.asarray(z0)).all()
+    assert np.isfinite(np.asarray(z1)).all(), "fused path underflowed"
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-4)
