@@ -139,22 +139,35 @@ _FULL_MEM_BYTES = 4 << 30
 _BP_MEM_BYTES = 6 << 30
 
 
-def _bp_vit_ok(cf: CompiledFSM, lhs) -> bool:
-    """True when the compressed-backpointer decode (_viterbi_scale_bp) can
-    run: block strategy, rank-1 ω split, single affine tier (candidate ids
-    fit uint8), and the (Npad, Sp, B) uint8 bp stream fits in HBM."""
+def _bp_vit_reject_reason(cf: CompiledFSM, lhs):
+    """None when the compressed-backpointer decode (_viterbi_scale_bp) can
+    run, else the first rejected predicate: block strategy, rank-1 ω
+    split, single affine tier (candidate ids fit uint8), and the
+    (Npad, Sp, B) uint8 bp stream fitting in HBM."""
     import os
 
     if os.environ.get("MMTPU_NO_VITBP"):
-        return False
-    if cf.strategy != "block" or cf.omega_prob is None:
-        return False
+        return "MMTPU_NO_VITBP is set"
+    if cf.strategy != "block":
+        return f"strategy {cf.strategy!r} != 'block'"
+    if cf.omega_prob is None:
+        return "no rank-1 omega split"
     from .ops.blocked import block_max_arg_supported
 
     if not block_max_arg_supported(cf.block_fwd, cf.block_fwd_offsets):
-        return False
+        return ("operator not a single affine tier with uint8-range "
+                "candidate ids")
     B, N, _ = lhs.shape
-    return (N + 1) * cf.padded_states * B <= _BP_MEM_BYTES
+    need = (N + 1) * cf.padded_states * B
+    if need > _BP_MEM_BYTES:
+        return (f"uint8 backpointer stream ~{need / 1e9:.1f} GB exceeds "
+                f"the {_BP_MEM_BYTES / 1e9:.0f} GB budget (chunk-recompute "
+                "decode used instead, ~2x slower)")
+    return None
+
+
+def _bp_vit_ok(cf: CompiledFSM, lhs) -> bool:
+    return _bp_vit_reject_reason(cf, lhs) is None
 
 
 def _vit_pallas_ok(cf: CompiledFSM, lhs) -> bool:
@@ -306,8 +319,18 @@ def _viterbi_scale(cf: CompiledFSM, lhs, lengths, chunk_size=None):
     """Backpointer-free Viterbi for 'dense'/'block' graphs (module
     docstring): chunk-checkpointed forward + per-chunk recompute walk.
     Returns (states (B, N) int32 in compiled numbering, score (B,))."""
-    if _bp_vit_ok(cf, lhs):
+    reason = _bp_vit_reject_reason(cf, lhs)
+    if reason is None:
         return _viterbi_scale_bp(cf, lhs, lengths)
+    if cf.strategy == "block":
+        # name the cliff once, at trace time (the chunk-recompute decode
+        # is ~2x slower than the single-sweep bp design)
+        import logging
+
+        logging.getLogger("markovmodels_tpu").warning(
+            "block-strategy Viterbi fell back to chunk-recompute: %s",
+            reason,
+        )
     B, N, P = lhs.shape
     Sp = cf.padded_states
     Nf = N + 1
