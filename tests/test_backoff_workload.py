@@ -86,3 +86,38 @@ def test_backoff_layouts_at_scale(monkeypatch):
     report = inf.fast_path_report(cf_s, 128)
     assert report.startswith("xla lax.scan fallback")
     assert reason in report
+
+
+def test_fast_path_report_matches_dispatch(monkeypatch):
+    """The report must agree with the dispatcher's actual gate for every
+    strategy/shape variant — locking the shared reject-reason helpers so
+    they cannot drift apart again (round-4 review finding)."""
+    import jax.numpy as jnp2
+
+    from markovmodels_tpu.workloads import make_lm_hmm_graph
+
+    monkeypatch.setenv("MMTPU_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("MMTPU_NO_PALLAS", raising=False)
+
+    fsm_s, spdf_s, P_s, _ = make_lm_hmm_graph(V=4)
+    fsm_l, spdf_l, P_l, _ = make_lm_hmm_graph(V=128)
+    variants = [
+        inf.compile_fsm(fsm_s, spdf_s, P_s, strategy="dense"),
+        inf.compile_fsm(fsm_s, spdf_s, P_s, strategy="dense",
+                        domain="log"),
+        inf.compile_fsm(fsm_s, spdf_s, P_s, strategy="ell"),
+        inf.compile_fsm(fsm_s, spdf_s, P_s, strategy="segment"),
+        inf.compile_fsm(fsm_l, spdf_l, P_l, strategy="block"),
+        inf.compile_fsm(fsm_l, spdf_l, P_l, strategy="block",
+                        reorder="none"),
+    ]
+    B = 4
+    for cf in variants:
+        lhs = jnp.zeros((B, 2, cf.num_pdfs), jnp.float32)
+        fused_dispatch = inf._pallas_ok(cf, lhs) or inf._pallas_block_ok(
+            cf, lhs
+        )
+        report = inf.fast_path_report(cf, B)
+        assert report.startswith("fused") == fused_dispatch, (
+            cf.strategy, report, fused_dispatch
+        )
