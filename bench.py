@@ -618,7 +618,23 @@ def main():
     )
     assert report_b.startswith("fused-pallas-block"), report_b
     assert t_b < 2.0 * t_2m, "backoff graph must stay within 2x of headline"
-    del cf_b, fsm_b
+    # Viterbi generality: the compressed-uint8-bp decode must also accept
+    # the backoff graph's operator (single affine tier) and return exact
+    # paths on it — the second graph family through the decoder
+    serr_b, gap_b = _viterbi_gate(vit, jax, jnp, fsm_b, spdf_b, P_b, cf_b)
+    vrun_b = jax.jit(lambda l, n: vit.viterbi(cf_b, l, n))
+    jax.block_until_ready(vrun_b(lhs, lengths))
+    t0 = time.perf_counter()
+    vout_b = vrun_b(lhs, lengths)
+    jax.block_until_ready(vout_b)
+    t_vb = time.perf_counter() - t0
+    print(
+        f"# 2m backoff viterbi (uint8-bp decode): |dscore| = {serr_b:.3e}, "
+        f"path-weight gap = {gap_b:.3e}; {t_vb:.4f} s -> "
+        f"{audio_s / t_vb:.0f} audio-s/s",
+        file=sys.stderr,
+    )
+    del cf_b, fsm_b, vout_b
 
     fsm_s, spdf_s, P_s, info_s = make_backoff_lm_hmm_graph(
         V=128, keep=0.1, layout="separate"
