@@ -117,7 +117,7 @@ def renorm(fsm: FSM) -> FSM:
     )
 
 
-def compose(fsm1: FSM, fsms, sep=None) -> FSM:
+def compose(fsm1: FSM, fsms) -> FSM:
     """Replacement composition: substitute each state i of ``fsm1`` with
     sub-FSM ``fsms[i]`` (reference src/fsmops.jl:103-121).
 

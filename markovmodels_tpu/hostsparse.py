@@ -223,11 +223,12 @@ def spdiag(v, sr) -> SpMat:
     """Diagonal matrix from a dense vector (keeps all entries, incl. zeros)."""
     n = len(v)
     idx = np.arange(n, dtype=np.int64)
-    d = _empty_data(sr, n)
-    for k in range(n):
-        d[k] = v[k]
     if _is_numeric(sr):
         d = np.asarray(v, dtype=np.float64).copy()
+    else:
+        d = _empty_data(sr, n)
+        for k in range(n):
+            d[k] = v[k]
     return SpMat((n, n), np.arange(n + 1, dtype=np.int64), idx, d)
 
 

@@ -1122,6 +1122,12 @@ def fast_path_report(cf: CompiledFSM, batch_size: int = 128) -> str:
     Ĉ, VMEM overflow...); this makes the cliff visible without reading
     kernel code.  ``pdfposteriors`` also logs this line (logger
     'markovmodels_tpu') the first time a 'block'-strategy graph falls back.
+
+    ``batch_size`` must equal the RUNTIME batch (``lhs.shape[0]``) for the
+    report to match the dispatcher near VMEM boundaries: the predicates use
+    the per-slice batch ``min(batch_size, 64)``, so a report computed at
+    the default 128 can disagree with an actual dispatch at B < 64 for
+    graphs near the VMEM budget.
     """
     if cf.strategy == "block":
         reason = _pallas_block_reject_reason(cf, batch_size)

@@ -384,6 +384,17 @@ def _maxall(y4, yt):
     )  # (Bh,)
 
 
+def _guard_min(y4, yt):
+    """Scalar statistic for the strided-rescale underflow guard: min over
+    ACTIVE batch entries of the per-entry state max.  Zero-padded slice
+    entries (B % 64 != 0) and sequences whose mass legitimately died have a
+    per-entry max of 0 < 2^_RS_FLOOR; including them would fire the guard on
+    every frame and silently negate the every-_RS-frame rescale cadence.
+    All-zero entries need no rescale anyway (their k stays 0)."""
+    m = _maxall(y4, yt)
+    return jnp.min(jnp.where(m > 0, m, jnp.inf))
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -468,7 +479,7 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
         co_scr[:] = (t - ss) - xc
         a4_scr[:] = y4
         at_scr[:] = yt
-        m_g = jnp.min(_maxall(y4, yt))  # scalar underflow guard
+        m_g = _guard_min(y4, yt)  # scalar underflow guard
 
         @pl.when(
             (i % _RS == _RS - 1)
@@ -509,7 +520,7 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
         a4_scr[:] = y4
         at_scr[:] = yt
 
-        m_g = jnp.min(_maxall(y4, yt))
+        m_g = _guard_min(y4, yt)
 
         @pl.when((tt % _RS == _RS - 1) | (m_g < 2.0**_RS_FLOOR))
         def _():
@@ -566,7 +577,7 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         b4_scr[:] = y4 * e4
         bt_scr[:] = yt * et_ref[0]
 
-        m_g = jnp.min(_maxall(b4_scr[:], bt_scr[:]))
+        m_g = _guard_min(b4_scr[:], bt_scr[:])
 
         @pl.when((t % _RS == 0) | (m_g < 2.0**_RS_FLOOR))
         def _():
@@ -1030,8 +1041,12 @@ def _make_vit_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec, KC):
 
 def vit_scan_supported(cf, B: int) -> bool:
     """Fused tropical sweep gate: the fused-fb predicates plus uint8
-    candidate range and no general-C (the kernel's emission broadcast
-    assumes one pdf per state)."""
+    candidate range, no general-C (the kernel's emission broadcast assumes
+    one pdf per state), and the Viterbi kernel's OWN scratch budget — it
+    allocates substantially more VMEM than the fwd-bwd kernel (an int32
+    candidate state c4 on top of the f32 state/scratch pair, plus the
+    (K, Bh, D) f32/int32 chunk buffers), so a graph the fb gate admits near
+    its 110 MB line can still blow the 126 MB vmem_limit here."""
     if block_scan_reject_reason(cf, B) is not None:
         return False
     plan = _full_plan(cf)
@@ -1039,7 +1054,16 @@ def vit_scan_supported(cf, B: int) -> bool:
     nO = len(pf["band_offsets"])
     if pf["Sm"] + nO >= 255:
         return False
-    return pf["K"] % _VIT_KC == 0 or pf["K"] < _VIT_KC
+    if not (pf["K"] % _VIT_KC == 0 or pf["K"] < _VIT_KC):
+        return False
+    Bh = min(B, _BH)
+    state = R * W * Bh * 4
+    Wt = cf.block_fwd.tiers[0][2]
+    # fb estimate (block_scan_reject_reason) + c4_scr (int32 state) +
+    # yv/cv chunk buffers, minus nothing (the bp stream is HBM-resident)
+    need = (2 * state + 2 * state + Wt.size * 4 + 1.5 * state + 4e6
+            + state + 2 * pf["K"] * Bh * pf["D"] * 4)
+    return need <= 110 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("st",))

@@ -65,6 +65,16 @@ def _viterbi_single(cf: CompiledFSM, lhs, lengths):
     B, N, P = lhs.shape
     Sp = cf.padded_states
     Nf = N + 1
+    need = 4 * Nf * Sp * B  # full int32 backpointers (Nf, Sp, B)
+    if need > _BP_MEM_BYTES:
+        raise ValueError(
+            f"viterbi int32 backpointer stream ~{need / 1e9:.1f} GB "
+            f"(Nf={Nf} x Sp={Sp} x B={B}) exceeds the "
+            f"{_BP_MEM_BYTES / 1e9:.0f} GB budget for the "
+            f"{cf.strategy!r} strategy; compile the graph with "
+            "strategy='block' (or 'dense') to use the at-scale "
+            "chunk-recompute decoder instead"
+        )
     lhs_tm = jnp.moveaxis(lhs, 1, 0)
     lhs_tm = jnp.pad(lhs_tm, ((0, Nf - N), (0, 0), (0, 0)))
     ts = jnp.arange(Nf, dtype=jnp.int32)
@@ -192,6 +202,12 @@ def _vit_pallas_ok(cf: CompiledFSM, lhs) -> bool:
     if jax.default_backend() != "tpu" and not os.environ.get(
         "MMTPU_PALLAS_INTERPRET"
     ):
+        return False
+    # the fused sweep materializes per-slice uint8 streams, a transposed
+    # copy per slice and their batch concat — peak HBM ~3x the nominal
+    # (N+1)*Sp*B bp budget, so gate at a third of it
+    B, N, _ = lhs.shape
+    if 3 * (N + 1) * cf.padded_states * B > _BP_MEM_BYTES:
         return False
     return pb.vit_scan_supported(cf, lhs.shape[0])
 

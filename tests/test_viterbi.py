@@ -237,3 +237,18 @@ def test_maxstateposteriors_best_path_zero():
     np.testing.assert_allclose(g[np.arange(N), s], 0.0, atol=1e-4)
     # no state beats the best path
     assert np.max(g) <= 1e-4
+
+
+def test_viterbi_single_bp_memory_guard(monkeypatch):
+    """A 'segment'-strategy graph whose full int32 backpointer stream would
+    exceed the budget must raise a named-predicate error instead of OOMing
+    (the at-scale strategies reroute to chunk-recompute; segment/ell have
+    no such fallback)."""
+    rng = np.random.default_rng(13)
+    S, P, N = 6, 3, 30
+    fsm, state_pdf, _ = make_hmm(rng, S, P)
+    cf = inf.compile_fsm(fsm, state_pdf, P, strategy="segment")
+    loglik = rng.normal(size=(1, N, P)).astype(np.float32)
+    monkeypatch.setattr(vit, "_BP_MEM_BYTES", 100)  # force the cliff
+    with pytest.raises(ValueError, match="backpointer stream"):
+        vit.viterbi(cf, jnp.asarray(loglik))
