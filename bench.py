@@ -14,7 +14,9 @@ before it is timed; any gate failure aborts):
    graph (pipeline route; must hit the fused path at headline speed, and
    must NAME the rejected predicate when compiled uncanonicalized), and
    the backoff pruned LM in both layouts (embedded-diagonal = fused;
-   separate-state = visible fallback).
+   separate-state = the reference pipeline's own shape, canonicalized by
+   compile_fsm's capped/overflow layout onto the SAME fused path — with
+   reorder='none' the old cliff stays visible with a named predicate).
 4. sharded halo plan for the 2M graph (compile-time ICI traffic).
 5. the reference's own benchmark: WSJ 3-gram phonotactic graph (~3,032
    states / ~52k arcs, 84 pdfs, reference misc/benchmark/README.md),
@@ -498,14 +500,15 @@ def main():
             [(0, 0.0)], arcs, [(Sn - 1, np.log(0.5))],
             [Label(int(s)) for s in seq], mm.LOG,
         )
-        # stacked numerators use the dense prob-domain path: vmapped
-        # (G, Sp, Sp) @ (G, Sp, 1) batched matvecs.  Measured: 'ell'
-        # (log-domain segment scan) is slower here (0.42 s vs 0.26 s for
-        # the numerator pass) — 128 vmapped tiny scans are op-bound, the
-        # batched dense matvec amortizes better even at 1-wide RHS.
+        # stacked numerators use the 'banded' strategy: linear lattices
+        # are 2-band (self + chain) matrices, so the per-frame matvec is
+        # two shifted elementwise multiply-adds over the (G, Sp) state —
+        # O(G·nO·Sp) instead of the vmapped dense path's O(G·Sp²)
+        # (round-4 e2e analysis: the dense numerator pass was ~0.26 s of
+        # the 0.43 s step; 'ell' measured slower still at 0.42 s)
         num_cfs.append(
             inf.compile_fsm(f, np.append(seq, P).astype(np.int32), P,
-                            strategy="dense")
+                            strategy="banded")
         )
     num_cf = inf.stack(num_cfs)
 
@@ -647,16 +650,28 @@ def main():
     )
     t_s, _ = _time_posteriors(inf, jax, cf_s, lhs, lengths)
     print(
-        f"# 2m backoff separate-state layout (naive CPU-LM port, "
-        f"{info_s['real_arcs']} arcs): parity |dlogZ| = {err_s:.3e}; "
-        f"{t_s:.4f} s ({t_s / t_b:.1f}x the embedded layout) — "
-        f"{report_s}",
+        f"# 2m backoff SEPARATE-state layout (the reference pipeline's own "
+        f"graph shape, {info_s['real_arcs']} arcs; canonicalized into the "
+        f"capped/overflow fused layout, ov={cf_s.ov_layout}): parity "
+        f"|dlogZ| = {err_s:.3e}, |dposts| = {perr_s:.3e}; path = "
+        f"{report_s}; {t_s:.4f} s -> {audio_s / t_s:.0f} audio-s/s "
+        f"({t_s / t_b:.2f}x the embedded layout)",
         file=sys.stderr,
     )
-    assert not report_s.startswith("fused"), (
-        "separate layout unexpectedly fused — update this bench + README"
+    assert report_s.startswith("fused-pallas-block"), report_s
+    assert t_s < 1.2 * t_b, (
+        "separate-state layout must run within 1.2x of the embedded layout"
     )
-    del cf_s, fsm_s, lhs
+    # the canonicalization is the difference: reorder='none' shows the old
+    # 10.8x cliff with a named predicate
+    cf_s_raw = inf.compile_fsm(fsm_s, spdf_s, P_s, strategy="block",
+                               reorder="none")
+    print(
+        f"# 2m backoff separate WITHOUT canonicalization (reorder='none'): "
+        f"{inf.fast_path_report(cf_s_raw, B)}",
+        file=sys.stderr,
+    )
+    del cf_s, cf_s_raw, fsm_s, lhs
 
     # ---- sharded halo plan for the 2M graph (scale-out story; no second
     # chip here, so record the compile-time ICI traffic plan) -------------

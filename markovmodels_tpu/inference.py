@@ -95,6 +95,8 @@ def _round_up(x, m):
         "block_bwd",
         "omega_prob",
         "orig_state",
+        "banded_fwd",
+        "banded_bwd",
     ],
     meta_fields=[
         "num_states",
@@ -107,6 +109,8 @@ def _round_up(x, m):
         "block_bwd_offsets",
         "pdf_group",
         "multi_pdf",
+        "ov_layout",
+        "banded_offsets",
     ],
 )
 @dataclasses.dataclass
@@ -156,6 +160,15 @@ class CompiledFSM:
     omega_prob: Optional[jnp.ndarray] = None
     # (Sp,) int32 original state id per (possibly reordered) slot; -1 padding
     orig_state: Optional[jnp.ndarray] = None
+    # 'banded' strategy (linear/low-bandwidth graphs, e.g. LF-MMI numerator
+    # lattices — 2-band self+chain matrices, reference LinearFSM
+    # examples/prepare-lfmmi-graphs.jl:25-65): per-offset arc probabilities,
+    # (nO, Sp) dst-indexed (fwd) / src-indexed (bwd); the per-frame matvec
+    # is nO shifted elementwise multiply-adds — no matmul at all, so a
+    # STACKED batch of numerators costs O(G·nO·Sp) per frame instead of
+    # the vmapped dense path's O(G·Sp²)
+    banded_fwd: Optional[jnp.ndarray] = None
+    banded_bwd: Optional[jnp.ndarray] = None
     # static metadata
     num_states: int = 0  # actual S+1 (incl. phony, excl. padding)
     num_pdfs: int = 0  # number of real pdfs P (phony pdf id = P)
@@ -176,6 +189,18 @@ class CompiledFSM:
     # sparse matrix, reference src/inference.jl:7-8); emission expansion and
     # posterior reduction both run through the binary pdf_onehot matmuls
     multi_pdf: bool = False
+    # capped pdf-grouped layout with an overflow region: (cap, nOv) when
+    # real pdf p owns slots [p*cap, (p+1)*cap) and the states beyond each
+    # pdf's first ``cap`` (e.g. a backoff LM's backoff states, which share
+    # their pdfs with V history states) sit in nOv extra cap-wide
+    # lane-groups at [P*cap, P*cap + nOv*cap), host-order, with per-LANE
+    # pdfs (state_pdf holds them); the phony final state follows at
+    # P*cap + nOv*cap.  pdf_group is () in this mode — the XLA paths use
+    # the general state_pdf gather/scatter, the fused kernel streams a
+    # per-lane emission block for the overflow rows.
+    ov_layout: tuple = ()
+    # arc offsets (dst - src) of the 'banded' strategy, sorted
+    banded_offsets: tuple = ()
 
     @property
     def padded_states(self) -> int:
@@ -207,6 +232,7 @@ def compile_fsm(
     precision: str = "high",
     domain: str = "prob",
     reorder: str = "auto",
+    ov_cap: int | None = None,
 ) -> CompiledFSM:
     """Lower a host FSM to the device representation.
 
@@ -223,6 +249,20 @@ def compile_fsm(
     posteriors/logZ are unaffected; state-indexed outputs (Viterbi paths,
     alpha/beta messages) are reported in the compiled numbering, with
     ``orig_state`` mapping slots back to host state ids.
+
+    ``ov_cap``: cap on the per-pdf slot count of the reordered layout.
+    When some pdf owns more states than the cap (e.g. a *separate-state*
+    backoff LM ∘ HMM graph, where pdf (b, k) is shared by the V histories
+    (·, b) AND the backoff state B(b) — the reference pipeline's own graph
+    shape, reference examples/prepare-lfmmi-graphs.jl:218-223), the states
+    beyond the first ``cap`` per pdf move to an *overflow* region of extra
+    cap-wide lane-groups (host order, per-lane pdfs) instead of inflating
+    cmax to a lane-misaligned V+1.  Their arcs compile into structured
+    overflow families (ops/blocked.py) that the fused kernel applies as
+    slab ops, keeping the whole graph on the fused fast path.  Default
+    (None) auto-caps at the largest multiple of 128 below cmax whenever
+    cmax > 128 and is not lane-aligned; pass an explicit cap to force the
+    layout (tests use small caps).
     """
     S1 = len(fsm.alpha_hat)
     C_multi = None
@@ -273,6 +313,8 @@ def compile_fsm(
 
     # --- optional uniform pdf-grouped relabeling --------------------------
     pdf_group = ()
+    ov_layout = ()
+    ov_region = None
     orig = None
     if reorder not in ("auto", "pdf", "none"):
         raise ValueError(f"unknown reorder mode {reorder!r}")
@@ -280,11 +322,48 @@ def compile_fsm(
         P1 = num_pdfs + 1
         counts = np.bincount(state_pdf[: S1 - 1], minlength=P1)
         cmax = max(int(counts.max()), 1)
+        cap = ov_cap
+        if cap is None and cmax > 128 and cmax % 128:
+            cap = 128 * (cmax // 128)
+        if cap is not None and cap < cmax:
+            # capped layout with overflow region (see the ov_cap docstring)
+            order = np.argsort(state_pdf[: S1 - 1], kind="stable")
+            grp = state_pdf[: S1 - 1][order].astype(np.int64)
+            pos = np.arange(S1 - 1) - np.searchsorted(grp, grp)
+            uni = (pos < cap) & (grp < num_pdfs)
+            n_over = int((~uni).sum())
+            nOv = -(-n_over // cap)
+            lim_u = num_pdfs * cap
+            fin_ov = lim_u + nOv * cap
+            ov_ok = fin_ov + 1 <= max(
+                int(1.5 * _round_up(S1, 128)), _round_up(S1, 128) + 128
+            )
+            if ov_ok and nOv > 0:
+                perm = np.empty(S1, dtype=np.int64)
+                perm[order[uni]] = grp[uni] * cap + pos[uni]
+                # overflow states keep HOST order (it preserves the graph's
+                # structural families, e.g. plane-major backoff states)
+                ov_ids = np.sort(order[~uni])
+                perm[ov_ids] = lim_u + np.arange(n_over)
+                perm[S1 - 1] = fin_ov
+                rows, cols = perm[rows], perm[cols]
+                alpha_full = np.full(fin_ov + 1, -np.inf)
+                alpha_full[perm] = alpha_in
+                alpha_in = alpha_full
+                spdf_full = np.full(fin_ov + 1, num_pdfs, dtype=np.int32)
+                spdf_full[perm] = state_pdf
+                state_pdf = spdf_full
+                orig = np.full(fin_ov + 1, -1, dtype=np.int32)
+                orig[perm] = np.arange(S1, dtype=np.int32)
+                final_idx = fin_ov
+                S_eff = fin_ov + 1
+                ov_layout = (cap, nOv)
+                ov_region = (lim_u, fin_ov, cap)
         lim = P1 * cmax
         inflation_ok = lim + 1 <= max(
             int(1.5 * _round_up(S1, 128)), _round_up(S1, 128) + 128
         )
-        if reorder == "pdf" or inflation_ok:
+        if not ov_layout and (reorder == "pdf" or inflation_ok):
             order = np.argsort(state_pdf[: S1 - 1], kind="stable")
             grp = state_pdf[: S1 - 1][order].astype(np.int64)
             pos = np.arange(S1 - 1) - np.searchsorted(grp, grp)
@@ -304,7 +383,7 @@ def compile_fsm(
             final_idx = num_pdfs * cmax
             S_eff = lim
             pdf_group = (cmax, lim)
-    if not pdf_group:
+    if not pdf_group and not ov_layout:
         final_idx = S1 - 1
         S_eff = S1
 
@@ -349,9 +428,12 @@ def compile_fsm(
         block_fwd=None,
         block_bwd=None,
         omega_prob=None,
+        banded_fwd=None,
+        banded_bwd=None,
     )
     meta = dict(
-        block_fwd_offsets=(), block_bwd_offsets=(), pdf_group=pdf_group
+        block_fwd_offsets=(), block_bwd_offsets=(), pdf_group=pdf_group,
+        ov_layout=ov_layout, banded_offsets=(),
     )
 
     # one-hot Ĉᵀ: lets the per-frame pdf-posterior reduction run as a small
@@ -404,13 +486,42 @@ def compile_fsm(
 
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         op, offs = build_block_operator(crows, ccols, cdata, Sp,
-                                        dtype=np_dtype)
+                                        dtype=np_dtype, ov_region=ov_region)
         kw["block_fwd"] = op
         meta["block_fwd_offsets"] = offs
         op, offs = build_block_operator(ccols, crows, cdata, Sp,
-                                        dtype=np_dtype)
+                                        dtype=np_dtype, ov_region=ov_region)
         kw["block_bwd"] = op
         meta["block_bwd_offsets"] = offs
+
+    if strategy == "banded":
+        # rank-1 ω split exactly as 'block': arcs into the phony final
+        # state are handled analytically; every remaining arc must sit on
+        # one of ≤ 8 shared (dst - src) offsets — the LF-MMI numerator
+        # lattice shape (self + chain bands, reference LinearFSM
+        # examples/prepare-lfmmi-graphs.jl:25-65)
+        to_fin = cols == final_idx
+        om = np.zeros(Sp, dtype=np.float64)
+        np.add.at(om, rows[to_fin], np.exp(data[to_fin]))
+        kw["omega_prob"] = jnp.asarray(om, dtype=dtype)
+        crows, ccols, cdata = rows[~to_fin], cols[~to_fin], data[~to_fin]
+        offs = np.unique(ccols - crows) if len(crows) else np.zeros(0, int)
+        if len(offs) > 8:
+            raise ValueError(
+                f"'banded' strategy: {len(offs)} distinct arc offsets "
+                "(> 8) — this graph is not a low-bandwidth lattice; use "
+                "'dense' or 'block'"
+            )
+        nO = max(len(offs), 1)
+        bf = np.zeros((nO, Sp), dtype=np.float64)
+        bb = np.zeros((nO, Sp), dtype=np.float64)
+        for oi, off in enumerate(offs):
+            sel = (ccols - crows) == off
+            bf[oi, ccols[sel]] = np.exp(cdata[sel])
+            bb[oi, crows[sel]] = np.exp(cdata[sel])
+        kw["banded_fwd"] = jnp.asarray(bf, dtype=dtype)
+        kw["banded_bwd"] = jnp.asarray(bb, dtype=dtype)
+        meta["banded_offsets"] = tuple(int(o) for o in offs)
 
     if strategy == "ell":
 
@@ -535,8 +646,39 @@ def stack(cfsms) -> CompiledFSM:
         block_fwd=None,
         block_bwd=None,
         omega_prob=None,
+        banded_fwd=None,
+        banded_bwd=None,
         orig_state=fstack("orig_state", Sp, -1),
     )
+    banded_offsets = ()
+    if strategy == "banded":
+        # union of the graphs' offset sets; absent offsets get zero bands
+        banded_offsets = tuple(
+            sorted({o for c in cfsms for o in c.banded_offsets})
+        )
+        if len(banded_offsets) > 8:
+            raise ValueError(
+                f"stack: union of banded offsets has {len(banded_offsets)} "
+                "entries (> 8)"
+            )
+        nO = max(len(banded_offsets), 1)
+
+        def expand_bands(c, name):
+            src = getattr(c, name)
+            out = jnp.zeros((nO, Sp), src.dtype)
+            for i, o in enumerate(banded_offsets):
+                if o in c.banded_offsets:
+                    j = c.banded_offsets.index(o)
+                    out = out.at[i, : src.shape[1]].set(src[j])
+            return out
+
+        kw["banded_fwd"] = jnp.stack(
+            [expand_bands(c, "banded_fwd") for c in cfsms]
+        )
+        kw["banded_bwd"] = jnp.stack(
+            [expand_bands(c, "banded_bwd") for c in cfsms]
+        )
+        kw["omega_prob"] = fstack("omega_prob", Sp, 0.0)
     if strategy == "ell":
         kw["ell_fwd_src"] = jnp.stack(
             [pad_to(pad_to(c.ell_fwd_src, Df, 0), Sp, 0, 0) for c in cfsms]
@@ -570,6 +712,7 @@ def stack(cfsms) -> CompiledFSM:
         batched=True,
         precision=cfsms[0].precision,
         domain=cfsms[0].domain,
+        banded_offsets=banded_offsets,
         **kw,
     )
 
@@ -1006,6 +1149,27 @@ def _make_prob_matvecs(cf: CompiledFSM):
             lambda a: mv(cf.dense_fwd_exp, scale_f, a),
             lambda a: mv(cf.dense_bwd_exp, scale_b, a),
         )
+    if cf.strategy == "banded":
+        offs = cf.banded_offsets
+
+        def fwd(a):
+            y = jnp.zeros_like(a)
+            for oi, off in enumerate(offs):
+                xs = a if off == 0 else jnp.roll(a, off, axis=0)
+                y = y + cf.banded_fwd[oi][:, None] * xs
+            # rank-1 ω: y[fin] = ω·a (ω[fin] = 1 covers the phony loop)
+            yfin = jnp.einsum("s,sb->b", cf.omega_prob, a)
+            return y.at[cf.final_state].set(yfin)
+
+        def bwd(a):
+            y = jnp.zeros_like(a)
+            for oi, off in enumerate(offs):
+                xs = a if off == 0 else jnp.roll(a, -off, axis=0)
+                y = y + cf.banded_bwd[oi][:, None] * xs
+            afin = jnp.take(a, cf.final_state, axis=0)
+            return y + cf.omega_prob[:, None] * afin[None, :]
+
+        return fwd, bwd
     if cf.strategy == "block":
         from .ops.blocked import block_matvec
 
@@ -1205,7 +1369,7 @@ def _fb_single(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
         )
     if cf.domain == "prob" and (
         (cf.strategy == "dense" and cf.pdf_onehot is not None)
-        or cf.strategy == "block"
+        or cf.strategy in ("block", "banded")
     ):
         fwd_pmv, bwd_pmv = _make_prob_matvecs(cf)
         return _fb_prob(

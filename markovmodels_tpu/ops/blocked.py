@@ -39,15 +39,18 @@ __all__ = [
 
 
 class BlockOperator(NamedTuple):
-    """Pytree of the three edge-set parts (arrays only; static metadata —
-    band offsets and per-tier access descriptors — lives on the CompiledFSM
-    so jit sees it as compile-time constants)."""
+    """Pytree of the edge-set parts (arrays only; static metadata — band
+    offsets, per-tier access descriptors and overflow-family descriptors —
+    lives on the CompiledFSM so jit sees it as compile-time constants)."""
 
     band_w: Optional[jnp.ndarray]  # (nOffsets, Sp) probabilities
     tiers: tuple  # of (src_idx (K, Sm), dst_idx (K, 128), W (K, Sm, 128))
     res_src: Optional[jnp.ndarray]  # (R,)
     res_dst: Optional[jnp.ndarray]
     res_w: Optional[jnp.ndarray]
+    # overflow-family weights (one array per meta ov_desc; see
+    # _fit_in_family/_fit_out_family for the descriptor grammar)
+    ov_w: tuple = ()
 
 
 def _affine_params(idx: np.ndarray):
@@ -135,6 +138,122 @@ def _scatter_desc(idx: np.ndarray, limit: int):
     return ("scatter",)
 
 
+def _fit_in_family(srcs, lanes, w, block, Sp, dtype, max_col=512):
+    """Fit the in-edges of one overflow lane-group (dst lane ``l`` receives
+    from ``srcs``) into a structured family:
+
+      ('col', base, stride, D): src = base + r·stride + l, r ∈ [0, D)
+          — a lane-aligned column of D source rows (e.g. reversed bigram
+          rows B(b) ← (b, c), or an ov→ov constant offset at D = 1);
+          W (D, block) with W[r, l] = weight.
+      ('win', base, stride, block): src ∈ [base + l·stride, +block)
+          — one contiguous source window per lane (e.g. backoff arcs
+          B(b) ← exits of history row b); W (block, block) = W[l, pos].
+
+    Returns (desc, W) or None (→ the edges go through the generic tier
+    grouping instead)."""
+    vals = srcs - lanes
+    u = np.unique(vals)
+    if len(u) <= max_col:
+        d = np.diff(u)
+        if len(u) == 1 or (d > 0).all() and (d == d[0]).all():
+            stride = int(d[0]) if len(u) > 1 else 0
+            base = int(u[0])
+            if base >= 0 and base + (len(u) - 1) * stride + block <= Sp:
+                r = np.searchsorted(u, vals)
+                W = np.zeros((len(u), block), dtype=dtype)
+                W[r, lanes] = w
+                return ("col", base, stride, len(u)), W
+    ul = np.unique(lanes)
+    if len(ul) >= 2:
+        order = np.lexsort((srcs, lanes))
+        first = np.searchsorted(lanes[order], ul)
+        mins = srcs[order][first]  # min src per present lane
+        dl = int(ul[1] - ul[0])
+        if (int(mins[1]) - int(mins[0])) % dl == 0:
+            stride = (int(mins[1]) - int(mins[0])) // dl
+            base = int(mins[0]) - int(ul[0]) * stride
+            pos = srcs - (base + lanes * stride)
+            if (
+                stride > 0
+                and base >= 0
+                and (pos >= 0).all()
+                and (pos < block).all()
+                and base + (block - 1) * stride + block <= Sp
+            ):
+                W = np.zeros((block, block), dtype=dtype)
+                W[lanes, pos] = w
+                return ("win", base, stride, block), W
+    return None
+
+
+def _fit_out_family(dsts, lanes, w, block, Sp, dtype, max_col=512):
+    """Mirror of :func:`_fit_in_family` for out-edges of an overflow
+    lane-group (src lane ``l`` feeds ``dsts``): 'col' = lane-aligned column
+    of destination rows (e.g. bigram rows B(b) → (b, c)); 'win' = one
+    contiguous destination window per lane (e.g. reversed backoff arcs)."""
+    return _fit_in_family(dsts, lanes, w, block, Sp, dtype, max_col)
+
+
+def _fit_families(other, lanes, w, block, Sp, dtype):
+    """Fit one ov lane-group's edges into 1-2 families (list of (desc, W),
+    leftover_mask).  A group can mix structurally distinct families (e.g.
+    backoff-arc windows + an ov→ov constant-offset column); when a single
+    fit fails, split by (other - lane) value multiplicity — column families
+    repeat one value across most lanes, window families scatter them."""
+    fam = _fit_in_family(other, lanes, w, block, Sp, dtype)
+    if fam is not None:
+        return [fam], np.zeros(len(other), dtype=bool)
+    vals = other - lanes
+    u, inv, cnt = np.unique(vals, return_inverse=True, return_counts=True)
+    nlanes = max(len(np.unique(lanes)), 2)
+    colish = cnt[inv] >= max(2, nlanes // 2)
+    fams = []
+    left = np.zeros(len(other), dtype=bool)
+    for mask in (colish, ~colish):
+        if not mask.any():
+            continue
+        f = _fit_in_family(other[mask], lanes[mask], w[mask], block, Sp,
+                           dtype)
+        if f is not None:
+            fams.append(f)
+        else:
+            left |= mask
+    return fams, left
+
+
+def _ov_families(src, dst, w, ov_lo, ov_hi, block, Sp, dtype):
+    """Classify edges touching the overflow region [ov_lo, ov_hi) into
+    per-group structured families.  Returns (descs, weights, leftover_mask,
+    touching_mask) where each desc is ('in'|'out', group_base, form, base,
+    stride, D) and leftover edges must go through the generic tier
+    grouping."""
+    descs, weights = [], []
+    leftover = np.zeros(len(src), dtype=bool)
+    is_in = (dst >= ov_lo) & (dst < ov_hi)
+    is_out = (src >= ov_lo) & (src < ov_hi) & ~is_in
+    for kind, mask, key, oth in (
+        ("in", is_in, dst, src),
+        ("out", is_out, src, dst),
+    ):
+        if not mask.any():
+            continue
+        for g in np.unique(key[mask] // block):
+            g0 = int(g) * block
+            sel = mask & (key >= g0) & (key < g0 + block)
+            fams, left = _fit_families(
+                oth[sel], key[sel] - g0, w[sel], block, Sp, dtype
+            )
+            for desc, W in fams:
+                descs.append((kind, g0) + desc)
+                weights.append(W)
+            if left.any():
+                idx = np.flatnonzero(sel)
+                leftover[idx[left]] = True
+    touching = is_in | is_out
+    return descs, weights, leftover, touching
+
+
 def build_block_operator(
     src,
     dst,
@@ -145,11 +264,22 @@ def build_block_operator(
     tier_sizes=(128, 256, 512),
     band_max: int = 8,
     dtype=np.float32,
+    ov_region=None,
 ):
     """Build (BlockOperator, band_offsets) from a COO edge list of T̂.
 
     ``w_log``: log-domain weights; stored as exp().  ``num_states``: padded
     state count Sp (multiple of ``block``).
+
+    ``ov_region``: optional (ov_lo, ov_hi, lane_w) — slot range of the
+    *overflow* states plus the layout's lane-group width (= the pdf-group
+    cap).  compile_fsm's capped pdf-grouped layout parks the states that
+    exceed the uniform per-pdf slot count there (e.g. a backoff LM's
+    backoff states).  Arcs touching the region are lifted into structured
+    families (lane-aligned windows/columns, see _fit_in_family) that the
+    fused kernel applies as single slab ops; arcs that fit no family fall
+    back to the generic tier grouping.  Band arcs (shared offsets) cover
+    the region like any other states.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -178,6 +308,18 @@ def build_block_operator(
         band_w[oi, bd] = bw
 
     src, dst, w = src[~in_band], dst[~in_band], w[~in_band]
+
+    # --- overflow families ----------------------------------------------
+    ov_descs, ov_weights = (), ()
+    if ov_region is not None and len(src):
+        ov_lo, ov_hi, lane_w = ov_region
+        assert ov_lo % lane_w == 0
+        ds, ws, leftover, touching = _ov_families(
+            src, dst, w, ov_lo, ov_hi, lane_w, Sp, dtype
+        )
+        ov_descs, ov_weights = tuple(ds), tuple(ws)
+        keep = ~touching | leftover
+        src, dst, w = src[keep], dst[keep], w[keep]
 
     # --- blocked part ---------------------------------------------------
     def pad_unique(u, size):
@@ -209,7 +351,7 @@ def build_block_operator(
             src[order], dst[order], w[order], key[order] // block,
             other[order],
         )
-        acc = {t: [] for t in tier_sizes}
+        acc = {}
         over = []
         starts = np.searchsorted(kk, np.arange(Sp // block))
         ends = np.searchsorted(kk, np.arange(Sp // block) + 1)
@@ -218,13 +360,47 @@ def build_block_operator(
             if lo == hi:
                 continue
             uoth = np.unique(oo[lo:hi])
+            # affine gap-fill: when the index set has holes but lies on one
+            # affine grid (e.g. a pruned LM row whose surviving successors
+            # miss some slots), lift it onto the minimal grid ANCHORED at
+            # its residue class (start = u[0] mod stride) — zero-weight
+            # fill slots keep the panel affine, and the common anchor lets
+            # blocks whose first surviving slot differs still stack into
+            # ONE cross-block affine pattern instead of degrading the tier
+            # to a gather/scatter
+            if len(uoth) >= 2:
+                du = np.diff(uoth)
+                g = int(np.gcd.reduce(du))
+                tier0 = next(
+                    (t for t in tier_sizes if len(uoth) <= t), None
+                )
+                if g > 0 and tier0 is not None:
+                    start = int(uoth[0]) % g
+                    span = (int(uoth[-1]) - start) // g + 1
+                    # only fill when it stays within the tier size the raw
+                    # set would use — growing the size class would inflate
+                    # panels (and the Viterbi uint8 candidate range) for
+                    # sets that are not really grid-structured
+                    if span > len(uoth) and span <= tier0:
+                        uoth = start + g * np.arange(span, dtype=np.int64)
             tier = next((t for t in tier_sizes if len(uoth) <= t), None)
             if tier is None:
                 over.append((s[lo:hi], d[lo:hi], ww[lo:hi]))
                 continue
             pos = np.searchsorted(uoth, oo[lo:hi])
             inblk = (key[order][lo:hi] - b * block).astype(np.int64)
+            pad = tier - len(uoth)
+            if pad and len(uoth) >= 2:
+                du = np.diff(uoth)
+                affine = (du == du[0]).all() and du[0] > 0
+                if affine and uoth[-1] + du[0] * pad >= Sp:
+                    # affine index set whose stride continuation would
+                    # overrun the state range: keep the EXACT length as its
+                    # own tier size (an affine descriptor with an odd width
+                    # beats a zero-padded one that degrades to a gather)
+                    tier = len(uoth)
             upad = pad_unique(uoth, tier)
+            acc.setdefault(tier, [])
             if by == "dst":
                 W = np.zeros((tier, block), dtype=dtype)
                 W[pos, inblk] = ww[lo:hi]
@@ -355,8 +531,9 @@ def build_block_operator(
         res_src=res_src,
         res_dst=res_dst,
         res_w=res_w,
+        ov_w=tuple(jnp.asarray(W_) for W_ in ov_weights),
     )
-    return op, (band_offsets, tier_descs, band_nz_hi)
+    return op, (band_offsets, tier_descs, band_nz_hi, ov_descs)
 
 
 def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
@@ -442,6 +619,45 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
             y = y.at[op.res_dst].max(contrib)
         else:
             y = y.at[op.res_dst].add(contrib)
+    # overflow families (generic gather/scatter forms; the fused kernel
+    # applies the same descriptors as single VMEM slab ops instead)
+    ov_descs = meta[3] if len(meta) > 3 else ()
+    for desc, W in zip(ov_descs, op.ov_w):
+        kind, g0, form, base, stride, D = desc
+        block = W.shape[-1]
+        lanes = np.arange(block)
+        if form == "col":
+            grid = base + np.arange(D)[:, None] * stride + lanes[None, :]
+        else:  # 'win': D == block rows, one window per lane
+            grid = (base + lanes[:, None] * stride) + np.arange(block)[None, :]
+        grid = jnp.asarray(grid)
+        if kind == "in":
+            Xg = x[grid.reshape(-1)].reshape(grid.shape + (B,))
+            if form == "col":
+                # y[g0 + l] ⊕= Σ_r W[r, l] · x[base + r·stride + l]
+                prod = W[:, :, None] * Xg
+            else:
+                # y[g0 + l] ⊕= Σ_j W[l, j] · x[base + l·stride + j]
+                prod = W[:, :, None] * Xg
+            seg = (jnp.max(prod, axis=0) if form == "col" else
+                   jnp.max(prod, axis=1)) if op_kind == "max" else (
+                jnp.sum(prod, axis=0) if form == "col" else
+                jnp.sum(prod, axis=1))
+            sl = y[g0 : g0 + block]
+            y = y.at[g0 : g0 + block].set(combine(sl, seg))
+        else:
+            xg = x[g0 : g0 + block]  # (block, B)
+            if form == "col":
+                # y[base + r·stride + l] ⊕= W[r, l] · x[g0 + l]
+                contrib = W[:, :, None] * xg[None, :, :]
+            else:
+                # y[base + l·stride + j] ⊕= W[l, j] · x[g0 + l]
+                contrib = W[:, :, None] * xg[:, None, :]
+            flat = contrib.reshape(-1, B)
+            if op_kind == "max":
+                y = y.at[grid.reshape(-1)].max(flat)
+            else:
+                y = y.at[grid.reshape(-1)].add(flat)
     return y
 
 
@@ -454,6 +670,10 @@ def block_max_arg_supported(op: BlockOperator, meta) -> bool:
     affine gather/scatter descriptors, and the candidate id (tier position
     + band offsets) fits a uint8 (the Viterbi-at-scale bp stream)."""
     if op.res_src is not None or len(op.tiers) != 1:
+        return False
+    if op.ov_w:
+        # overflow families carry their own candidate spaces; the uint8
+        # encoding below does not cover them yet — chunk-recompute decodes
         return False
     (gdesc, ddesc) = meta[1][0]
     # any gather form works (generic index gather fallback); the scatter

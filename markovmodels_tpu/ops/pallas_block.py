@@ -183,6 +183,40 @@ def _dir_plan_explain(op, meta, W, R, cmax):
     return plan, None
 
 
+def _ov_plan(descs, W, R, cmax):
+    """Validate overflow-family descriptors (ops/blocked.py _ov_families)
+    against the (R, W) grid.  Returns (plans, None) or (None, reason); each
+    plan is (kind, form, (rg, gg), (rb, gb), D) with the ov group at grid
+    cell (rg, gg) and the core-side window/column anchored at (rb, gb)."""
+    plans = []
+    for desc in descs:
+        kind, g0, form, base, stride, D = desc
+        if g0 % cmax or (g0 % W) % cmax:
+            return None, f"ov group base {g0} not lane-group aligned"
+        rg, gg = g0 // W, (g0 % W) // cmax
+        if rg >= R:
+            return None, f"ov group row {rg} outside the {R}-row grid"
+        if (base % W) % cmax:
+            return None, f"ov family base {base} not lane-group aligned"
+        rb, gb = base // W, (base % W) // cmax
+        if form == "win":
+            if stride != W:
+                return None, f"ov window stride {stride} != row width {W}"
+            if D != cmax:
+                return None, f"ov window width {D} != lane-group size {cmax}"
+            if rb + cmax > R:
+                return None, "ov window rows overrun the grid"
+        elif form == "col":
+            if D > 1 and stride != W:
+                return None, f"ov column stride {stride} != row width {W}"
+            if rb + D > R:
+                return None, "ov column rows overrun the grid"
+        else:
+            return None, f"unknown ov family form {form!r}"
+        plans.append((kind, form, (rg, gg), (rb, gb), D))
+    return tuple(plans), None
+
+
 def _full_plan(cf):
     """(W, R, plan_fwd, plan_bwd) or None."""
     plan, _ = _full_plan_explain(cf)
@@ -190,7 +224,8 @@ def _full_plan(cf):
 
 
 def _full_plan_explain(cf):
-    """((W, R, plan_fwd, plan_bwd), None) or (None, reason)."""
+    """((W, R, plan_fwd, plan_bwd), None) or (None, reason).  Plans carry
+    an 'ov' tuple of overflow-family plans (empty for uniform layouts)."""
     ops = (cf.block_fwd, cf.block_bwd)
     metas = (cf.block_fwd_offsets, cf.block_bwd_offsets)
     W = None
@@ -209,25 +244,54 @@ def _full_plan_explain(cf):
     if W % 128:
         return None, f"tier stride {W} not a multiple of 128 lanes"
     Sp = cf.padded_states
-    cmax, lim = cf.pdf_group
+    ov_layout = getattr(cf, "ov_layout", ())
+    if cf.pdf_group:
+        cmax, lim = cf.pdf_group
+        nOv = 0
+    elif ov_layout:
+        cmax, nOv = ov_layout
+    else:
+        return None, "no pdf-grouped or overflow layout"
     if W % cmax:
         return None, f"row width {W} not a multiple of pdf-group size {cmax}"
-    K = cf.block_fwd.tiers[0][0].shape[0]
-    R = max(K, cf.block_bwd.tiers[0][0].shape[0])
+    fin = int(cf.final_state)
+    Rk = max(cf.block_fwd.tiers[0][0].shape[0],
+             cf.block_bwd.tiers[0][0].shape[0])
+    # the grid must cover everything below the phony tail; legacy uniform
+    # graphs satisfy fin == Rk*W already, overflow layouts put their ov
+    # groups in extra rows beyond the tier blocks
+    R = fin // W if (fin % W == 0 and fin // W >= Rk) else Rk
     if R * W > Sp:
         return None, f"R*W = {R * W} exceeds padded states {Sp}"
     tail = Sp - R * W
-    fin = int(cf.final_state)
     if fin < R * W:
         return None, "phony final state not in the tail region"
     if tail % cmax or tail <= 0 or tail % 128:
         return None, f"tail size {tail} not lane/pdf-group aligned"
+    Gp = W // cmax
+    if nOv:
+        P = cf.num_pdfs
+        if R * Gp != P + nOv:
+            return None, (f"overflow grid has {R * Gp} lane-groups, layout "
+                          f"expects P + nOv = {P + nOv}")
+        if P % Gp:
+            return None, (f"uniform region ({P} groups) does not end on a "
+                          f"row boundary (Gp = {Gp})")
     pf, rf = _dir_plan_explain(cf.block_fwd, cf.block_fwd_offsets, W, R, cmax)
     if pf is None:
         return None, f"forward operator: {rf}"
     pb, rb = _dir_plan_explain(cf.block_bwd, cf.block_bwd_offsets, W, R, cmax)
     if pb is None:
         return None, f"backward operator: {rb}"
+    for plan, meta, dname in ((pf, metas[0], "forward"),
+                              (pb, metas[1], "backward")):
+        ovd = meta[3] if len(meta) > 3 else ()
+        if ovd and not nOv:
+            return None, f"{dname} operator: ov families without ov layout"
+        ovp, ro = _ov_plan(ovd, W, R, cmax)
+        if ovp is None:
+            return None, f"{dname} operator: {ro}"
+        plan["ov"] = ovp
     # band weights must vanish on the tail (the rank-1 ω split owns it) —
     # checked via static build-time metadata (meta[2]), never device arrays
     for meta in metas:
@@ -250,16 +314,17 @@ def block_scan_reject_reason(cf, B: int):
         # e.g. the dtype=float64 precision mode: kernels are f32-only
         return (f"operator dtype {cf.alpha_hat.dtype} (fused kernels are "
                 "f32; the XLA path handles other dtypes)")
-    if not cf.pdf_group:
+    if not cf.pdf_group and not getattr(cf, "ov_layout", ()):
         return ("no uniform pdf-grouped layout (compile_fsm reorder "
                 "declined or disabled)")
     if cf.omega_prob is None:
         return "no rank-1 omega split"
     if getattr(cf, "multi_pdf", False):
         return "general multi-pdf C-hat (fused scan needs one pdf per state)"
-    cmax, lim = cf.pdf_group
-    if (cf.num_pdfs + 1) * cmax != lim:
-        return "pdf-grouped layout not uniform over all pdfs"
+    if cf.pdf_group:
+        cmax, lim = cf.pdf_group
+        if (cf.num_pdfs + 1) * cmax != lim:
+            return "pdf-grouped layout not uniform over all pdfs"
     plan, reason = _full_plan_explain(cf)
     if plan is None:
         return reason
@@ -267,8 +332,12 @@ def block_scan_reject_reason(cf, B: int):
     Bh = min(B, _BH)
     state = R * W * Bh * 4
     Wt = cf.block_fwd.tiers[0][2]
+    ovb = 4 * sum(
+        int(np.prod(w.shape))
+        for w in (tuple(cf.block_fwd.ov_w) + tuple(cf.block_bwd.ov_w))
+    )
     # two state scratches + one double-buffered stream + weights + temps
-    need = 2 * state + 2 * state + Wt.size * 4 + 1.5 * state + 4e6
+    need = 2 * state + 2 * state + Wt.size * 4 + 1.5 * state + 4e6 + ovb
     if need > 110 * 1024 * 1024:
         return (f"VMEM working set ~{need / 1e6:.0f} MB exceeds the 110 MB "
                 f"budget (R*W = {R * W}, Bh = {Bh})")
@@ -296,18 +365,27 @@ def _tier_scratch(plan, Bh, cmax):
 
 
 def _make_matvec(plan, R, Gp, Bh, cmax, prec):
-    """Accumulate y = M⊗a into ``y4_scr`` (band + tier, main block only).
-    State refs are 4D (R, Gp, Bh, cmax); flat state r·W + g·cmax + c.
+    """Accumulate y = M⊗a into ``y4_scr`` (band + tier + overflow families,
+    main block only).  State refs are 4D (R, Gp, Bh, cmax); flat state
+    r·W + g·cmax + c.
 
     Probability semiring only: tier panels ride the MXU.  (A tropical
     max-mode variant was tried and removed: the max-product reduction has
     no MXU analog, so it is VPU-bound either way and XLA's own codegen for
     it is faster — Viterbi at scale instead uses the compressed-backpointer
     design in viterbi._viterbi_scale_bp.)
+
+    Overflow families (ops/blocked.py _ov_families; e.g. a backoff LM's
+    backoff arcs / bigram rows) are each ONE slab op over (≤cmax, Bh, cmax)
+    windows — a batched dot for per-lane source windows, a broadcast
+    multiply-add for lane-aligned columns — negligible next to the band
+    passes.  ``ovw_ref`` stacks their weight panels zero-padded to a common
+    (nF, maxD, cmax) shape; per-family slices are static.
     """
     offs = plan["band_offsets"]
     K, Sm, D = plan["K"], plan["Sm"], plan["D"]
     g, s = plan["g"], plan["s"]
+    ov_plans = plan.get("ov", ())
     precision = _PRECISIONS[prec]
     RG = R * Gp
     combine = lambda a, b: a + b
@@ -320,7 +398,43 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
             return jnp.concatenate([z, a[:-m]], axis=0)
         return jnp.concatenate([a[-m:], z], axis=0)
 
-    def matvec(a4_scr, band_ref, W_ref, y4_scr, t3_scr):
+    def apply_ov(a4_scr, ovw_ref, y4_scr):
+        for f, (kind, form, (rg, gg), (rb, gb), Df) in enumerate(ov_plans):
+            Wv = ovw_ref[f, :Df, :]  # (Df, cmax)
+            if kind == "in":
+                if form == "win":
+                    # y_ov[b, l] += Σ_j Wv[l, j] · a4[rb + l, gb, b, j]
+                    X = a4_scr[rb : rb + cmax, gb, :, :]  # (l, Bh, j)
+                    Y = jax.lax.dot_general(
+                        Wv, X, (((1,), (2,)), ((0,), (0,))),
+                        precision=precision,
+                        preferred_element_type=jnp.float32,
+                    )  # (l, Bh)
+                    y4_scr[rg, gg, :, :] = (
+                        y4_scr[rg, gg, :, :] + jnp.transpose(Y)
+                    )
+                else:
+                    # y_ov[b, l] += Σ_r Wv[r, l] · a4[rb + r, gb, b, l]
+                    X = a4_scr[rb : rb + Df, gb, :, :]  # (Df, Bh, cmax)
+                    y4_scr[rg, gg, :, :] = y4_scr[rg, gg, :, :] + jnp.sum(
+                        Wv[:, None, :] * X, axis=0
+                    )
+            else:
+                xov = a4_scr[rg, gg, :, :]  # (Bh, cmax)
+                if form == "col":
+                    # y4[rb + r, gb, b, l] += Wv[r, l] · x_ov[b, l]
+                    win = y4_scr[rb : rb + Df, gb, :, :]
+                    y4_scr[rb : rb + Df, gb, :, :] = (
+                        win + Wv[:, None, :] * xov[None, :, :]
+                    )
+                else:
+                    # y4[rb + l, gb, b, j] += Wv[l, j] · x_ov[b, l]
+                    win = y4_scr[rb : rb + cmax, gb, :, :]
+                    y4_scr[rb : rb + cmax, gb, :, :] = (
+                        win + Wv[:, None, :] * jnp.transpose(xov)[:, :, None]
+                    )
+
+    def matvec(a4_scr, band_ref, W_ref, ovw_ref, y4_scr, t3_scr):
         # band: pure group-row shifts (offsets are multiples of cmax);
         # the first offset initializes y directly (a zeros init + combine
         # costs an extra full pass over the state per frame)
@@ -375,6 +489,9 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
             cur = y4_scr[0:K, gs, :, ls : ls + D]
             y4_scr[0:K, gs, :, ls : ls + D] = combine(cur, Y)
 
+        if ov_plans:
+            apply_ov(a4_scr, ovw_ref, y4_scr)
+
     return matvec
 
 
@@ -402,10 +519,10 @@ def _guard_min(y4, yt):
 def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec):
     matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec)
 
-    def step(t_is_zero, a4_scr, at_ref, band_ref, W_ref, om_ref, omt_ref,
-             em, et, y4_scr, t3_scr):
+    def step(t_is_zero, a4_scr, at_ref, band_ref, W_ref, ovw_ref, om_ref,
+             omt_ref, em, et, y4_scr, t3_scr):
         at = at_ref[:]
-        matvec(a4_scr, band_ref, W_ref, y4_scr, t3_scr)
+        matvec(a4_scr, band_ref, W_ref, ovw_ref, y4_scr, t3_scr)
         a4 = a4_scr[:]
         # rank-1 ω: the only arcs into the tail target the phony final state
         omc = om_ref[:].reshape(R, Gp, 1, cmax) * a4
@@ -441,14 +558,25 @@ def _rescale(a4_scr, at_scr, ks_scr):
         ks_scr[:] = ks_scr[:] + k[None, :]
 
 
-def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
+def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
+                     R_u, nOv):
     step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
     RG = R * Gp
+    nF = len(plan.get("ov", ()))
 
-    def kernel(band_ref, W_ref, om_ref, omt_ref, al_ref, alt_ref,
-               em_ref, et_ref, msh_ref,
-               b3_ref, bt_ref, vfin_ref, shift_ref, ksum_ref,
-               a4_scr, at_scr, y4_scr, t3_scr, sh_scr, co_scr, ks_scr):
+    def kernel(*refs):
+        it = iter(refs)
+        band_ref, W_ref = next(it), next(it)
+        ovw_ref = next(it) if nF else None
+        om_ref, omt_ref = next(it), next(it)
+        al_ref, alt_ref = next(it), next(it)
+        em_ref, et_ref = next(it), next(it)
+        emov_ref = next(it) if nOv else None
+        msh_ref = next(it)
+        b3_ref, bt_ref = next(it), next(it)
+        vfin_ref, shift_ref, ksum_ref = next(it), next(it), next(it)
+        a4_scr, at_scr, y4_scr, t3_scr = next(it), next(it), next(it), next(it)
+        sh_scr, co_scr, ks_scr = next(it), next(it), next(it)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -467,8 +595,8 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
             bt_ref[0] = at_scr[:]
 
         y4, yt = step(
-            i == 0, a4_scr, at_scr, band_ref, W_ref, om_ref, omt_ref,
-            em_ref[0], et_ref[0], y4_scr, t3_scr,
+            i == 0, a4_scr, at_scr, band_ref, W_ref, ovw_ref, om_ref,
+            omt_ref, em_ref[0], et_ref[0], y4_scr, t3_scr,
         )
         x = msh_ref[0]
         ss = sh_scr[:]
@@ -479,7 +607,13 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
         co_scr[:] = (t - ss) - xc
         a4_scr[:] = y4
         at_scr[:] = yt
-        m_g = _guard_min(y4, yt)  # scalar underflow guard
+        if nOv:
+            # overflow rows carry per-LANE pdfs: their broadcast emission
+            # was 1; multiply the streamed lane-resolved block in
+            a4_scr[R_u:R] = a4_scr[R_u:R] * emov_ref[0].reshape(
+                R - R_u, Gp, Bh, cmax
+            )
+        m_g = _guard_min(a4_scr[:], at_scr[:])  # scalar underflow guard
 
         @pl.when(
             (i % _RS == _RS - 1)
@@ -498,13 +632,23 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec):
     return kernel
 
 
-def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
+def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec,
+                           R_u, nOv):
     step = _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec)
     RG = R * Gp
+    nF = len(plan.get("ov", ()))
 
-    def kernel(t0_ref, band_ref, W_ref, om_ref, omt_ref, em_ref, et_ref,
-               b3_ref, bt_ref, a3_out, at_out, a4_scr, at_scr, y4_scr,
-               t3_scr):
+    def kernel(*refs):
+        it = iter(refs)
+        t0_ref = next(it)
+        band_ref, W_ref = next(it), next(it)
+        ovw_ref = next(it) if nF else None
+        om_ref, omt_ref = next(it), next(it)
+        em_ref, et_ref = next(it), next(it)
+        emov_ref = next(it) if nOv else None
+        b3_ref, bt_ref = next(it), next(it)
+        a3_out, at_out = next(it), next(it)
+        a4_scr, at_scr, y4_scr, t3_scr = next(it), next(it), next(it), next(it)
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -514,13 +658,17 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
 
         tt = t0_ref[0] + j
         y4, yt = step(
-            tt == 0, a4_scr, at_scr, band_ref, W_ref,
+            tt == 0, a4_scr, at_scr, band_ref, W_ref, ovw_ref,
             om_ref, omt_ref, em_ref[0], et_ref[0], y4_scr, t3_scr,
         )
         a4_scr[:] = y4
         at_scr[:] = yt
+        if nOv:
+            a4_scr[R_u:R] = a4_scr[R_u:R] * emov_ref[0].reshape(
+                R - R_u, Gp, Bh, cmax
+            )
 
-        m_g = _guard_min(y4, yt)
+        m_g = _guard_min(a4_scr[:], at_scr[:])
 
         @pl.when((tt % _RS == _RS - 1) | (m_g < 2.0**_RS_FLOOR))
         def _():
@@ -536,14 +684,25 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec):
 
 
 def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
-                     Npad, Gt):
+                     Npad, Gt, R_u, nOv, SPR):
     matvec = _make_matvec(plan, R, Gp, Bh, cmax, prec)
     RG = R * Gp
+    nF = len(plan.get("ov", ()))
 
-    def kernel(t0_ref, band_ref, W_ref, om_ref, omt_ref, em_ref, et_ref,
-               a3_ref, at_ref, bin3_ref, bint_ref,
-               posts_ref, bout3_ref, boutt_ref,
-               b4_scr, bt_scr, y4_scr, t3_scr):
+    def kernel(*refs):
+        it = iter(refs)
+        t0_ref = next(it)
+        band_ref, W_ref = next(it), next(it)
+        ovw_ref = next(it) if nF else None
+        om_ref, omt_ref = next(it), next(it)
+        em_ref, et_ref = next(it), next(it)
+        emov_ref = next(it) if nOv else None
+        a3_ref, at_ref = next(it), next(it)
+        bin3_ref, bint_ref = next(it), next(it)
+        posts_ref = next(it)
+        ovposts_ref = next(it) if nOv else None
+        bout3_ref, boutt_ref = next(it), next(it)
+        b4_scr, bt_scr, y4_scr, t3_scr = next(it), next(it), next(it), next(it)
         j = pl.program_id(0)  # frame t = t0 + (K-1-j)
 
         @pl.when(j == 0)
@@ -553,7 +712,7 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
 
         bbt = bt_scr[:]
         t = t0_ref[0] + (K_chunk - 1 - j)
-        matvec(b4_scr, band_ref, W_ref, y4_scr, t3_scr)
+        matvec(b4_scr, band_ref, W_ref, ovw_ref, y4_scr, t3_scr)
         # rank-1 ω backward: y += ω · bb[fin]
         bfin = bbt[:, finoff : finoff + 1]  # (Bh, 1)
         y4 = y4_scr[:] + om_ref[:].reshape(R, Gp, 1, cmax) * bfin[
@@ -565,17 +724,28 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         yt = jnp.where(last, jnp.ones_like(yt), yt)
         g4 = a3_ref[0].reshape(R, Gp, Bh, cmax) * y4
         gt = at_ref[0] * yt
-        # pdf reduction: lane sums -> (RG, Bh) main + (Gt, Bh) tail
+        # pdf reduction: lane sums -> (RG, Bh) main + (Gt, Bh) tail; rows
+        # of overflow groups mix pdfs — the host assembly replaces them
+        # with the lane-resolved ovposts block below
         s_main = jnp.sum(g4, axis=3).reshape(RG, Bh)
         s_tail = jnp.transpose(
             jnp.sum(gt.reshape(Bh, Gt, cmax), axis=2), (1, 0)
         )
-        sp = jnp.concatenate([s_main, s_tail], axis=0)  # (P1, Bh)
+        sp = jnp.concatenate([s_main, s_tail], axis=0)  # (SPR, Bh)
         tot = jnp.sum(sp, axis=0, keepdims=True)
-        posts_ref[0] = sp / jnp.where(tot > 0, tot, 1.0)
+        den = jnp.where(tot > 0, tot, 1.0)
+        posts_ref[0] = sp / den
+        if nOv:
+            ovposts_ref[0] = (
+                g4[R_u:R].reshape(nOv, Bh, cmax) / den[0][None, :, None]
+            )
         e4 = em_ref[0].reshape(R, Gp, Bh)[:, :, :, None]
         b4_scr[:] = y4 * e4
         bt_scr[:] = yt * et_ref[0]
+        if nOv:
+            b4_scr[R_u:R] = b4_scr[R_u:R] * emov_ref[0].reshape(
+                R - R_u, Gp, Bh, cmax
+            )
 
         m_g = _guard_min(b4_scr[:], bt_scr[:])
 
@@ -603,8 +773,10 @@ def _const(shape):
 @functools.partial(jax.jit, static_argnames=("st", "want_posts", "chunk"))
 def _run_slice(arrs, st, want_posts, chunk):
     """One ≤64-sequence batch slice through the fused scan."""
-    (band_f, Wt_f, band_b, Wt_b, om, omt, al, alt, em, et, msh) = arrs
-    (Sp, P1, cmax, finoff, W, R, tail, plan_f, plan_b, prec) = st
+    (band_f, Wt_f, ovw_f, band_b, Wt_b, ovw_b, om, omt, al, alt, em, et,
+     em_ov, msh) = arrs
+    (Sp, SPR, cmax, finoff, W, R, tail, plan_f, plan_b, prec, R_u,
+     nOv) = st
     Gp = W // cmax
     RG = R * Gp
     Gt = tail // cmax
@@ -623,23 +795,37 @@ def _run_slice(arrs, st, want_posts, chunk):
         etp = etp.at[:, :, (Gt - 1) * cmax :].set(1.0)
         et = jnp.concatenate([et, etp], axis=0)
         msh = jnp.concatenate([msh, jnp.zeros((pad, 1, Bh), jnp.float32)], 0)
+        if nOv:
+            em_ov = jnp.concatenate(
+                [em_ov, jnp.zeros((pad, nOv, Bh, cmax), jnp.float32)], 0
+            )
 
     interp = _interpret()
     cparams = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
     nO = band_f.shape[0]
-    Kt, Sm, D = plan_f["K"], plan_f["Sm"], plan_f["D"]
+    nFf = len(plan_f["ov"]) if "ov" in plan_f else 0
+    nFb = len(plan_b["ov"]) if "ov" in plan_b else 0
 
     fr3 = lambda i: (i, 0, 0)
     fr4 = lambda i: (i, 0, 0, 0)
 
-    common = [
-        _const((nO, RG, cmax)),
-        _const((Kt, Sm, D)),
-        _const((RG, cmax)),
-        _const((1, tail)),
-    ]
+    def dir_consts(band, Wt, ovw, pl_d, nF):
+        out = [_const(tuple(band.shape)), _const(tuple(Wt.shape))]
+        if nF:
+            out.append(_const(tuple(ovw.shape)))
+        out += [_const((RG, cmax)), _const((1, tail))]
+        return out
+
+    common_f = dir_consts(band_f, Wt_f, ovw_f, plan_f, nFf)
+    common_b = dir_consts(band_b, Wt_b, ovw_b, plan_b, nFb)
+    ops_f = (band_f, Wt_f) + ((ovw_f,) if nFf else ()) + (om, omt)
+    ops_b = (band_b, Wt_b) + ((ovw_b,) if nFb else ()) + (om, omt)
     em_spec = pl.BlockSpec((1, RG, Bh), fr3, memory_space=pltpu.VMEM)
     et_spec = pl.BlockSpec((1, Bh, tail), fr3, memory_space=pltpu.VMEM)
+    emov_spec = (
+        [pl.BlockSpec((1, nOv, Bh, cmax), fr4, memory_space=pltpu.VMEM)]
+        if nOv else []
+    )
 
     def scr(plan):
         return [
@@ -649,15 +835,16 @@ def _run_slice(arrs, st, want_posts, chunk):
             pltpu.VMEM(_tier_scratch(plan, Bh, cmax), jnp.float32),
         ]
 
-    bounds3, boundst, vfin, shift, ksum = pl.pallas_call(
+    fwd_out = pl.pallas_call(
         _make_fwd_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff, K,
-                         prec),
+                         prec, R_u, nOv),
         grid=(Npad,),
-        in_specs=common + [
+        in_specs=common_f + [
             _const((RG, cmax)),
             _const((1, tail)),
             em_spec,
             et_spec,
+        ] + emov_spec + [
             pl.BlockSpec((1, 1, Bh), fr3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -683,21 +870,24 @@ def _run_slice(arrs, st, want_posts, chunk):
         ],
         compiler_params=cparams,
         interpret=interp,
-    )(band_f, Wt_f, om, omt, al, alt, em, et, msh)
+    )(*ops_f, al, alt, em, et, *((em_ov,) if nOv else ()), msh)
+    bounds3, boundst, vfin, shift, ksum = fwd_out
 
     if not want_posts:
-        return None, vfin[:, 0], shift[0], ksum[0]
+        return None, None, vfin[:, 0], shift[0], ksum[0]
 
     em_cm = em.reshape(C, K, RG, Bh)
     et_cm = et.reshape(C, K, Bh, tail)
+    emov_cm = em_ov.reshape(C, K, nOv, Bh, cmax) if nOv else None
 
     recompute = pl.pallas_call(
         _make_recompute_kernel(dict(plan_f), R, Gp, Bh, cmax, tail, finoff,
-                               prec),
+                               prec, R_u, nOv),
         grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + common + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + common_f + [
             em_spec,
             et_spec,
+        ] + emov_spec + [
             _const((RG, Bh, cmax)),
             _const((Bh, tail)),
         ],
@@ -716,29 +906,40 @@ def _run_slice(arrs, st, want_posts, chunk):
 
     rev4 = lambda i: (K - 1 - i, 0, 0, 0)
     rev3 = lambda i: (K - 1 - i, 0, 0)
+    emov_rev_spec = (
+        [pl.BlockSpec((1, nOv, Bh, cmax), rev4, memory_space=pltpu.VMEM)]
+        if nOv else []
+    )
+    ovposts_out_spec = (
+        [pl.BlockSpec((1, nOv, Bh, cmax), rev4, memory_space=pltpu.VMEM)]
+        if nOv else []
+    )
+    ovposts_out_shape = (
+        [jax.ShapeDtypeStruct((K, nOv, Bh, cmax), jnp.float32)]
+        if nOv else []
+    )
     bwd = pl.pallas_call(
         _make_bwd_kernel(dict(plan_b), R, Gp, Bh, cmax, tail, finoff, K,
-                         prec, Npad, Gt),
+                         prec, Npad, Gt, R_u, nOv, SPR),
         grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [
-            _const((nO, RG, cmax)),
-            _const((Kt, Sm, D)),
-            _const((RG, cmax)),
-            _const((1, tail)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + common_b + [
             pl.BlockSpec((1, RG, Bh), rev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bh, tail), rev3, memory_space=pltpu.VMEM),
+        ] + emov_rev_spec + [
             pl.BlockSpec((1, RG, Bh, cmax), rev4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Bh, tail), rev3, memory_space=pltpu.VMEM),
             _const((RG, Bh, cmax)),
             _const((Bh, tail)),
         ],
         out_specs=[
-            pl.BlockSpec((1, P1, Bh), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SPR, Bh), rev3, memory_space=pltpu.VMEM),
+        ] + ovposts_out_spec + [
             _const((RG, Bh, cmax)),
             _const((Bh, tail)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, P1, Bh), jnp.float32),
+            jax.ShapeDtypeStruct((K, SPR, Bh), jnp.float32),
+        ] + ovposts_out_shape + [
             jax.ShapeDtypeStruct((RG, Bh, cmax), jnp.float32),
             jax.ShapeDtypeStruct((Bh, tail), jnp.float32),
         ],
@@ -749,26 +950,47 @@ def _run_slice(arrs, st, want_posts, chunk):
 
     def chunk_step(carry, inp):
         bb3, bbt = carry
-        c, bound3_c, boundt_c, em_c, et_c = inp
+        if nOv:
+            c, bound3_c, boundt_c, em_c, et_c, emov_c = inp
+            emov_in = (emov_c,)
+        else:
+            c, bound3_c, boundt_c, em_c, et_c = inp
+            emov_in = ()
         t0 = (c * K).astype(jnp.int32)[None]
-        A3, At = recompute(t0, band_f, Wt_f, om, omt, em_c, et_c,
+        A3, At = recompute(t0, *ops_f, em_c, et_c, *emov_in,
                            bound3_c, boundt_c)
-        posts_c, bb3, bbt = bwd(t0, band_b, Wt_b, om, omt, em_c, et_c,
-                                A3, At, bb3, bbt)
-        return (bb3, bbt), posts_c
+        outs = bwd(t0, *ops_b, em_c, et_c, *emov_in, A3, At, bb3, bbt)
+        if nOv:
+            posts_c, ovposts_c, bb3, bbt = outs
+            return (bb3, bbt), (posts_c, ovposts_c)
+        posts_c, bb3, bbt = outs
+        return (bb3, bbt), (posts_c,)
 
     binit = (
         jnp.ones((RG, Bh, cmax), jnp.float32),
         jnp.ones((Bh, tail), jnp.float32),
     )
-    _, posts = lax.scan(
-        chunk_step,
-        binit,
-        (jnp.arange(C), bounds3, boundst, em_cm, et_cm),
-        reverse=True,
-    )
-    posts = posts.reshape(Npad, P1, Bh)
-    return posts, vfin[:, 0], shift[0], ksum[0]
+    xs = (jnp.arange(C), bounds3, boundst, em_cm, et_cm)
+    if nOv:
+        xs = xs + (emov_cm,)
+    _, ys = lax.scan(chunk_step, binit, xs, reverse=True)
+    posts = ys[0].reshape(Npad, SPR, Bh)
+    ovposts = ys[1].reshape(Npad, nOv, Bh, cmax) if nOv else None
+    return posts, ovposts, vfin[:, 0], shift[0], ksum[0]
+
+
+def _stack_ovw(ov_w, ov_plans, cmax):
+    """Stack a direction's overflow-family weight panels zero-padded to a
+    common (nF, maxD, cmax) shape (per-family D stays static in the plan)."""
+    if not ov_plans:
+        return None
+    maxD = max(p[4] for p in ov_plans)
+    return jnp.stack([
+        jnp.zeros((maxD, cmax), jnp.float32).at[: p[4]].set(
+            w.astype(jnp.float32)
+        )
+        for p, w in zip(ov_plans, ov_w)
+    ])
 
 
 def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
@@ -780,10 +1002,17 @@ def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
     Sp = cf.padded_states
     tail = Sp - R * W
     fin = int(cf.final_state)
-    cmax, lim = cf.pdf_group
+    if cf.pdf_group:
+        cmax, lim = cf.pdf_group
+        nOv = 0
+    else:
+        cmax, nOv = cf.ov_layout
     Gp = W // cmax
     RG = R * Gp
     Gt = tail // cmax
+    P = cf.num_pdfs
+    R_u = P // Gp if nOv else R
+    SPR = RG + Gt
     Nf, P1, B = ext.shape
     Bh = min(B, _BH)
     # pad the batch to a whole number of kernel slices (padding sequences
@@ -795,8 +1024,8 @@ def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
         mshift = jnp.pad(mshift, ((0, 0), (0, 0), (0, Bp - B)))
 
     st = (
-        Sp, P1, cmax, fin - R * W, W, R, tail,
-        _Frozen(plan_f), _Frozen(plan_b), cf.precision,
+        Sp, SPR, cmax, fin - R * W, W, R, tail,
+        _Frozen(plan_f), _Frozen(plan_b), cf.precision, R_u, nOv,
     )
     a0 = jnp.exp(cf.alpha_hat).astype(jnp.float32)
     al = a0[: R * W].reshape(RG, cmax)
@@ -809,25 +1038,44 @@ def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
 
     om = cf.omega_prob[: R * W].reshape(RG, cmax)
     omt = cf.omega_prob[R * W :][None, :]
+    ovw_f = _stack_ovw(cf.block_fwd.ov_w, plan_f.get("ov", ()), cmax)
+    ovw_b = _stack_ovw(cf.block_bwd.ov_w, plan_b.get("ov", ()), cmax)
 
     # emission layout transforms (XLA, cheap): (Nf, P1, B) ->
-    # em (Nf, RG, B) per main pdf group, et (Nf, B, tail) per tail slot
-    em = ext[:, :RG, :]
-    et = jnp.transpose(
-        jnp.repeat(ext[:, RG : RG + Gt, :], cmax, axis=1), (0, 2, 1)
-    )
+    # em (Nf, RG, B) per main lane-group, et (Nf, B, tail) per tail slot;
+    # overflow groups additionally stream a per-LANE block em_ov
+    if nOv:
+        em = jnp.concatenate(
+            [ext[:, :P, :], jnp.ones((Nf, nOv, Bp), jnp.float32)], axis=1
+        )
+        et_src = jnp.broadcast_to(ext[:, P : P + 1, :], (Nf, Gt, Bp))
+        lanepdf = cf.state_pdf[P * cmax : P * cmax + nOv * cmax]
+        em_ov_full = jnp.transpose(
+            jnp.take(ext, lanepdf, axis=1).reshape(Nf, nOv, cmax, Bp),
+            (0, 1, 3, 2),
+        )  # (Nf, nOv, Bp, cmax)
+    else:
+        em = ext[:, :RG, :]
+        et_src = ext[:, RG : RG + Gt, :]
+        em_ov_full = None
+    et = jnp.transpose(jnp.repeat(et_src, cmax, axis=1), (0, 2, 1))
 
-    posts_all, vfin_all, shift_all, ksum_all = [], [], [], []
+    posts_all, ovp_all, vfin_all, shift_all, ksum_all = [], [], [], [], []
     for b0 in range(0, Bp, Bh):
         sl = slice(b0, b0 + Bh)
         arrs = (
-            band(cf.block_fwd), cf.block_fwd.tiers[0][2],
-            band(cf.block_bwd), cf.block_bwd.tiers[0][2],
+            band(cf.block_fwd), cf.block_fwd.tiers[0][2], ovw_f,
+            band(cf.block_bwd), cf.block_bwd.tiers[0][2], ovw_b,
             om, omt, al, alt,
-            em[:, :, sl], et[:, sl, :], mshift[:, :, sl],
+            em[:, :, sl], et[:, sl, :],
+            em_ov_full[:, :, sl, :] if nOv else None,
+            mshift[:, :, sl],
         )
-        posts, vfin, shift, ksum = _run_slice(arrs, st, want_posts, chunk)
+        posts, ovposts, vfin, shift, ksum = _run_slice(
+            arrs, st, want_posts, chunk
+        )
         posts_all.append(posts)
+        ovp_all.append(ovposts)
         vfin_all.append(vfin)
         shift_all.append(shift)
         ksum_all.append(ksum)
@@ -837,7 +1085,21 @@ def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
     ksum = jnp.concatenate(ksum_all)[:B]
     if not want_posts:
         return None, vfin, shift, ksum
-    posts = jnp.concatenate(posts_all, axis=2)[:, :, :B]  # (Npad, P1, B)
+    posts_rows = jnp.concatenate(posts_all, axis=2)[:, :, :B]
+    if not nOv:
+        return posts_rows, vfin, shift, ksum  # SPR == P1
+    # assembly: uniform group rows ARE pdf rows; overflow group rows are
+    # replaced by their lane-resolved posteriors scattered to each lane's
+    # pdf; tail rows fold into the phony pdf row
+    Npad = posts_rows.shape[0]
+    ovposts = jnp.concatenate(ovp_all, axis=2)[:, :, :B, :]
+    posts = jnp.zeros((Npad, P1, B), jnp.float32)
+    posts = posts.at[:, :P, :].set(posts_rows[:, :P, :])
+    posts = posts.at[:, P, :].set(
+        jnp.sum(posts_rows[:, P + nOv :, :], axis=1)
+    )
+    ovp = jnp.swapaxes(ovposts, 2, 3).reshape(Npad, nOv * cmax, B)
+    posts = posts.at[:, lanepdf, :].add(ovp)
     return posts, vfin, shift, ksum
 
 
@@ -1051,6 +1313,10 @@ def vit_scan_supported(cf, B: int) -> bool:
         return False
     plan = _full_plan(cf)
     W, R, pf, pb_ = plan
+    if pf.get("ov") or getattr(cf, "ov_layout", ()):
+        # the tropical sweep has no overflow-family support yet — the
+        # chunk-recompute decoder covers those graphs
+        return False
     nO = len(pf["band_offsets"])
     if pf["Sm"] + nO >= 255:
         return False

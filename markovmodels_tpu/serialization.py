@@ -153,6 +153,9 @@ def _meta_of(cf) -> dict:
         block_fwd_offsets=cf.block_fwd_offsets,
         block_bwd_offsets=cf.block_bwd_offsets,
         pdf_group=cf.pdf_group,
+        ov_layout=cf.ov_layout,
+        multi_pdf=cf.multi_pdf,
+        banded_offsets=cf.banded_offsets,
         leaf_paths=paths,
     )
 
@@ -192,6 +195,7 @@ def load_compiled(path: str):
         if not any(p.startswith(f".{prefix}") for p in paths):
             return None
         ntiers = len(meta_dir[1])
+        nov = len(meta_dir[3]) if len(meta_dir) > 3 else 0
         return BlockOperator(
             band_w=field(f"{prefix}.band_w"),
             tiers=tuple(
@@ -200,6 +204,7 @@ def load_compiled(path: str):
             res_src=field(f"{prefix}.res_src"),
             res_dst=field(f"{prefix}.res_dst"),
             res_w=field(f"{prefix}.res_w"),
+            ov_w=tuple(placeholder for _ in range(nov)),
         )
 
     # Build a skeleton whose tree structure matches exactly: every present
@@ -229,6 +234,8 @@ def load_compiled(path: str):
         block_bwd=block_op("block_bwd", meta["block_bwd_offsets"]),
         omega_prob=fld("omega_prob"),
         orig_state=fld("orig_state"),
+        banded_fwd=fld("banded_fwd"),
+        banded_bwd=fld("banded_bwd"),
         num_states=meta["num_states"],
         num_pdfs=meta["num_pdfs"],
         strategy=meta["strategy"],
@@ -238,6 +245,9 @@ def load_compiled(path: str):
         block_fwd_offsets=meta["block_fwd_offsets"],
         block_bwd_offsets=meta["block_bwd_offsets"],
         pdf_group=_detuple(meta.get("pdf_group", ())),
+        ov_layout=_detuple(meta.get("ov_layout", ())),
+        multi_pdf=meta.get("multi_pdf", False),
+        banded_offsets=_detuple(meta.get("banded_offsets", ())),
     )
     treedef = jax.tree.structure(skeleton)
     if treedef.num_leaves != n:

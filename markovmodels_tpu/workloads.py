@@ -141,10 +141,18 @@ def make_backoff_lm_hmm_graph(
       no dynamic single-lane indexing); choosing a layout that makes the
       family lane-aligned is the TPU answer, not a more general kernel.
     * ``'separate'``: B(b) states appended after the V² histories — the
-      naive port of a CPU backoff-LM layout.  Correct (XLA block path,
-      'diag'/gather descriptors), but the mixed pdf-group sizes (V+1)
-      break the 128-lane tiling, so it falls OFF the fused path —
-      ``inference.fast_path_report`` names why.  bench.py times both.
+      layout the reference pipeline's ``LanguageModelFSM(ngrams) ∘ hmms``
+      route produces (reference examples/prepare-lfmmi-graphs.jl:218-223).
+      Its pdf groups have V+1 states (V histories sharing pdf (b, k) plus
+      B(b)), so a plain uniform pdf-grouped layout would need cmax = V+1 —
+      not 128-lane alignable, and its tiers degrade to gather/scatter
+      ("4 tiers" is merely the FIRST rejected predicate).  Since round 5,
+      ``compile_fsm``'s capped/overflow canonicalization (``ov_cap``)
+      keeps cmax = V, parks the backoff states in overflow lane-groups,
+      and lifts their arcs into structured families — so this layout now
+      reaches the SAME fused path; compiled with ``reorder='none'`` it
+      still shows the old cliff with a named reason.  bench.py times both
+      layouts and gates their parity.
 
     Returns (fsm, state_pdf, num_pdfs, info); ``info['real_arcs']`` counts
     stored arcs, ``info['panel_slots']`` the dense-tier slots they occupy

@@ -69,7 +69,7 @@ def test_block_operator_structure_is_scatter_free():
     cf = inf.compile_fsm(fsm, spdf, P, strategy="block")
     assert cf.pdf_group  # uniform pdf-grouped layout engaged
     assert cf.omega_prob is not None
-    for op, (band_offsets, descs, _hi) in [
+    for op, (band_offsets, descs, _hi, _ov) in [
         (cf.block_fwd, cf.block_fwd_offsets),
         (cf.block_bwd, cf.block_bwd_offsets),
     ]:

@@ -280,3 +280,42 @@ def test_alpha_beta_recursions_give_posteriors():
                 pp[p] = lse(g[t][sel])
         pp = np.exp(pp - lse(pp))
         np.testing.assert_allclose(pp[:P], np.asarray(posts_ref[0, t]), atol=1e-4)
+
+
+def test_banded_strategy_matches_dense_stacked():
+    """'banded' numerator lattices (self+chain 2-band matrices, the
+    reference LinearFSM shape): stacked banded scan must match the stacked
+    dense path exactly and the oracle — including an infeasible length
+    (logZ = -inf) and ragged lengths."""
+    import markovmodels_tpu as mm
+    from markovmodels_tpu.fsm import FSM as _FSM
+    from markovmodels_tpu.labels import Label as _Label
+
+    rng = np.random.default_rng(3)
+    P, B, N = 24, 6, 30
+    cfs_b, cfs_d = [], []
+    for b in range(B):
+        Lp = 10 + b
+        seq = rng.integers(0, P, size=Lp)
+        arcs = [((i, i), np.log(0.5)) for i in range(Lp)] + [
+            ((i, i + 1), np.log(0.5)) for i in range(Lp - 1)
+        ]
+        f = _FSM.from_pairs(
+            [(0, 0.0)], arcs, [(Lp - 1, np.log(0.5))],
+            [_Label(int(s)) for s in seq], mm.LOG,
+        )
+        spdf = np.append(seq, P).astype(np.int32)
+        cfs_b.append(inf.compile_fsm(f, spdf, P, strategy="banded"))
+        cfs_d.append(inf.compile_fsm(f, spdf, P, strategy="dense"))
+    assert cfs_b[0].banded_offsets == (0, 1)
+    num_b, num_d = inf.stack(cfs_b), inf.stack(cfs_d)
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lens = np.array([N, 25, 30, 9, 30, 20], dtype=np.int32)  # 9 infeasible
+    pb_, zb = inf.pdfposteriors(num_b, jnp.asarray(lhs), jnp.asarray(lens))
+    pd_, zd = inf.pdfposteriors(num_d, jnp.asarray(lhs), jnp.asarray(lens))
+    zb, zd = np.asarray(zb), np.asarray(zd)
+    assert (np.isfinite(zb) == np.isfinite(zd)).all()
+    assert not np.isfinite(zb[3])  # 15-state chain cannot finish in 9
+    fin = np.isfinite(zb)
+    np.testing.assert_allclose(zb[fin], zd[fin], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pb_), np.asarray(pd_), atol=1e-5)
