@@ -1014,6 +1014,112 @@ def _fb_prob(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts,
     return _fbp_run(kern, lhs, lengths, chunk_size, want_posts, cf.num_pdfs)
 
 
+def _fb_prob_banded_stacked(cf: CompiledFSM, lhs, lengths, chunk_size,
+                            want_posts):
+    """Stacked 'banded' graphs (e.g. 128 LF-MMI numerator lattices) run as
+    ONE prob-domain scan with the GRAPH axis on the vector lanes: state
+    (Sp, G) instead of the vmapped per-graph (Sp, 1).
+
+    The vmapped route leaves every per-frame op with a trailing dim of 1 —
+    measured 0.107 s for the forward scan of 128×80-state numerators
+    (~150 µs/frame of pure lane-waste).  With graphs as lanes the same
+    ops are (Sp, G) slabs; per-graph parameters (bands, ω, α, state→pdf
+    map, final state) ride the lane axis, and the per-graph pdf reduction
+    is one batched one-hot matmul."""
+    B, N, P = lhs.shape
+    if P != cf.num_pdfs:
+        raise ValueError(f"lhs has {P} pdfs, graph expects {cf.num_pdfs}")
+    G = cf.alpha_hat.shape[0]
+    if B != G:
+        raise ValueError(
+            f"stacked banded scan expects one sequence per graph "
+            f"(B = {B}, graphs = {G})"
+        )
+    from .ops import pallas_banded as pband
+
+    if pband.banded_scan_supported(cf, B) is None:
+        posts, vfin, shift, ksum = pband.banded_fused_fb(
+            cf, lhs, lengths, want_posts
+        )
+        logZ = _combine_shift(
+            jnp.where(vfin > 0, jnp.log(jnp.maximum(vfin, 1e-38)), NEG_INF),
+            ksum, shift,
+        )
+        if not want_posts:
+            return None, logZ
+        posts = jnp.moveaxis(posts, 2, 0)[:, :N, :P]  # (G, N, P)
+        return posts, logZ
+    Sp = cf.padded_states
+    P1 = P + 1
+    offs = cf.banded_offsets
+    bfT = jnp.moveaxis(cf.banded_fwd, 0, 1)  # (nO, Sp... ) -> per-offset
+    bbT = jnp.moveaxis(cf.banded_bwd, 0, 1)
+    # lane-major parameter layouts: (Sp, G)
+    bf = jnp.transpose(bfT, (0, 2, 1))  # (nO, Sp, G)
+    bb = jnp.transpose(bbT, (0, 2, 1))
+    omT = jnp.transpose(cf.omega_prob)  # (Sp, G)
+    a0 = jnp.transpose(jnp.exp(cf.alpha_hat))  # (Sp, G)
+    spdfT = jnp.transpose(cf.state_pdf)  # (Sp, G) int32
+    fin_mask = (
+        jnp.arange(Sp)[:, None] == cf.final_state[None, :]
+    ).astype(lhs.dtype)  # (Sp, G)
+    # per-graph one-hot state→pdf for the posterior reduction (G, P1, Sp)
+    oh = (
+        spdfT.T[:, None, :] == jnp.arange(P1)[None, :, None]
+    ).astype(lhs.dtype)
+    prec = sops._PRECISIONS[cf.precision]
+
+    def fwd_pmv(x):
+        y = jnp.zeros_like(x)
+        for oi, off in enumerate(offs):
+            xs = x if off == 0 else jnp.roll(x, off, axis=0)
+            y = y + bf[oi] * xs
+        yfin = jnp.sum(omT * x, axis=0)  # (G,)
+        return y * (1.0 - fin_mask) + fin_mask * yfin[None, :]
+
+    def bwd_pmv(x):
+        y = jnp.zeros_like(x)
+        for oi, off in enumerate(offs):
+            xs = x if off == 0 else jnp.roll(x, -off, axis=0)
+            y = y + bb[oi] * xs
+        xfin = jnp.sum(fin_mask * x, axis=0)  # (G,)
+        return y + omT * xfin[None, :]
+
+    def eprob(lhs_t, t):
+        active = t < lengths  # (G,)
+        m_l = jnp.max(lhs_t, axis=1)  # (G,)
+        el = jnp.exp(lhs_t - m_l[:, None])  # (G, P)
+        ph = jnp.where(active, 0.0, 1.0)[None, :]
+        ext = jnp.concatenate([el.T * active[None, :], ph], axis=0)
+        x = jnp.take_along_axis(ext, spdfT, axis=0)  # (Sp, G)
+        return x, jnp.where(active, m_l, 0.0)
+
+    def pdf_reduce(gamma):
+        s = jnp.einsum(
+            "gps,sg->pg", oh, gamma,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return s, jnp.sum(gamma, axis=0)
+
+    def final_val(a, ksum, shift):
+        v = jnp.sum(fin_mask * a, axis=0)
+        return _combine_shift(
+            jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-38)), NEG_INF),
+            ksum, shift,
+        )
+
+    kern = _ProbKernels(
+        alpha0=a0,
+        fwd_pmv=fwd_pmv,
+        bwd_pmv=bwd_pmv,
+        eprob=eprob,
+        colmax=lambda y: jnp.max(y, axis=0),
+        pdf_reduce=pdf_reduce,
+        final_val=final_val,
+    )
+    return _fbp_run(kern, lhs, lengths, chunk_size, want_posts, P)
+
+
 @dataclasses.dataclass
 class _ProbKernels:
     """Pluggable pieces of the probability-domain forward-backward scan —
@@ -1042,13 +1148,23 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
     C = -(-Nf // K)
     Npad = C * K
     P1 = num_pdfs + 1
+    # small-state scans (stacked banded/dense numerator lattices) are
+    # bound by per-iteration dispatch overhead, not compute — unroll the
+    # scan body to amortize it (measured 1.9x on the 128-numerator pass);
+    # large states keep unroll=1 (their ops dominate, unrolling only
+    # bloats the program)
+    unroll = 8 if Sl * B * P1 <= (1 << 22) else 1
 
     lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
     ts = jnp.arange(Npad, dtype=jnp.int32)
     lhs_cm = lhs_tm.reshape(C, K, B, P)
     ts_cm = ts.reshape(C, K)
 
-    a0 = jnp.broadcast_to(kern.alpha0[:, None], (Sl, B)).astype(lhs.dtype)
+    a0 = (
+        kern.alpha0.astype(lhs.dtype)
+        if kern.alpha0.ndim == 2  # per-column initial state (stacked path)
+        else jnp.broadcast_to(kern.alpha0[:, None], (Sl, B)).astype(lhs.dtype)
+    )
     shift0 = jnp.zeros(B, lhs.dtype)
     comp0 = jnp.zeros(B, lhs.dtype)
     k0 = jnp.zeros(B, lhs.dtype)
@@ -1089,16 +1205,18 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
 
     if C == 1:
         (aF, kF, shiftF, _), A = lax.scan(
-            fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts)
+            fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts),
+            unroll=unroll,
         )
         logZ = kern.final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
-        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
+        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True,
+                              unroll=unroll)
     else:
         def chunk_fwd(carry, inp):
             boundary = carry
-            new_carry, _ = lax.scan(fstep, carry, inp)
+            new_carry, _ = lax.scan(fstep, carry, inp, unroll=unroll)
             return new_carry, boundary
 
         (aF, kF, shiftF, _), boundaries = lax.scan(
@@ -1110,8 +1228,10 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
 
         def chunk_bwd(carry, inp):
             bound, lhs_k, ts_k = inp
-            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k))
-            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
+            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k),
+                              unroll=unroll)
+            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k),
+                            reverse=True, unroll=unroll)
 
         _, posts = lax.scan(
             chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True
@@ -1430,6 +1550,18 @@ def _dispatch(cf: CompiledFSM, lhs, lengths, chunk_size, want_posts):
     if cf.batched:
         if lhs.ndim != 3:
             raise ValueError("batched graphs expect lhs of shape (B, N, P)")
+        if (
+            cf.strategy == "banded"
+            and cf.domain == "prob"
+            and not cf.multi_pdf
+            and lhs.shape[0] == cf.alpha_hat.shape[0]
+        ):
+            # one-sequence-per-graph stacked numerators: run as a single
+            # scan with the graph axis on the vector lanes (the vmapped
+            # per-graph route leaves every op with a trailing dim of 1)
+            return _fb_prob_banded_stacked(
+                cf, lhs, lengths, chunk_size, want_posts
+            )
 
         def one(cf_b, lhs_b, len_b):
             return _fb_single(

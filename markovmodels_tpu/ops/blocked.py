@@ -696,6 +696,36 @@ def tier_dst_inverse(op: BlockOperator, num_states: int) -> np.ndarray:
     return k_of
 
 
+def _maxarg_packed(prod, axis, nbits=8):
+    """(max, argmax) via TWO plain max-reductions instead of one variadic
+    tuple-reduce: the value comes from an exact f32 ``jnp.max``; the argmax
+    from an int32 max over ``(value_bits & ~mask) | idx`` — nonnegative f32
+    bit patterns are order-isomorphic to their int32 bits, so dropping the
+    low ``nbits`` mantissa bits and packing the candidate id there keeps
+    the comparison keyed on the value (ties within 2^-16 relative resolve
+    toward the LARGER id; any near-maximizer yields a path within f32
+    round-off of optimal, and the id is only a backpointer — the carried
+    Viterbi VALUE stays the exact f32 max).
+
+    Rationale: XLA lowers a variadic (max, argmax) reduce through a
+    comparator of 2 selects per element; plain maxes vectorize as single
+    VPU max ops, so IF the variadic lowering is the limiter (round-4
+    measured 13% of the VPU bound), two cheap maxes win.  Opt-in via
+    MMTPU_VIT_PACKED=1; parity-tested against the variadic path.
+
+    Requires prod >= 0 (probability domain) and idx range < 2^nbits.
+    """
+    ids = jax.lax.broadcasted_iota(jnp.int32, prod.shape, axis)
+    bits = jax.lax.bitcast_convert_type(prod, jnp.int32)
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(bits, jnp.int32(-(1 << nbits))), ids
+    )
+    best = jnp.max(packed, axis=axis)
+    return jnp.max(prod, axis=axis), jnp.bitwise_and(
+        best, jnp.int32((1 << nbits) - 1)
+    )
+
+
 def _maxarg(prod, idx, axis):
     """(max, argmax) over ``axis`` in ONE variadic lax.reduce pass (XLA
     fuses the broadcast-multiply producer, so the (K, Sm, D, B) product is
@@ -758,8 +788,13 @@ def block_matvec_max_arg(op: BlockOperator, meta, x):
         Xg = view.reshape(K, dk, B)[:, c0 : c0 + Sm]
     else:
         Xg = x[sidx.reshape(-1)].reshape(K, Sm, B)
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (K, Sm, D, B), 1)
-    Y, A = _maxarg(W[:, :, :, None] * Xg[:, :, None, :], s_ids, 1)
+    import os
+
+    if os.environ.get("MMTPU_VIT_PACKED"):
+        Y, A = _maxarg_packed(W[:, :, :, None] * Xg[:, :, None, :], 1)
+    else:
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, (K, Sm, D, B), 1)
+        Y, A = _maxarg(W[:, :, :, None] * Xg[:, :, None, :], s_ids, 1)
 
     # tier scatter of (value, cand) through the affine window
     if ddesc[0] in ("contig", "affine_d"):

@@ -404,12 +404,11 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
             if kind == "in":
                 if form == "win":
                     # y_ov[b, l] += Σ_j Wv[l, j] · a4[rb + l, gb, b, j]
+                    # (an elementwise broadcast-reduce over one (cmax, Bh,
+                    # cmax) slab — Mosaic's dot lowering cannot express a
+                    # batched dot whose lhs has no non-contracting dims)
                     X = a4_scr[rb : rb + cmax, gb, :, :]  # (l, Bh, j)
-                    Y = jax.lax.dot_general(
-                        Wv, X, (((1,), (2,)), ((0,), (0,))),
-                        precision=precision,
-                        preferred_element_type=jnp.float32,
-                    )  # (l, Bh)
+                    Y = jnp.sum(Wv[:, None, :] * X, axis=2)  # (l, Bh)
                     y4_scr[rg, gg, :, :] = (
                         y4_scr[rg, gg, :, :] + jnp.transpose(Y)
                     )

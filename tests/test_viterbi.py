@@ -252,3 +252,22 @@ def test_viterbi_single_bp_memory_guard(monkeypatch):
     monkeypatch.setattr(vit, "_BP_MEM_BYTES", 100)  # force the cliff
     with pytest.raises(ValueError, match="backpointer stream"):
         vit.viterbi(cf, jnp.asarray(loglik))
+
+
+def test_viterbi_packed_argmax_matches(monkeypatch):
+    """MMTPU_VIT_PACKED (two plain max-reduces with value-bit/id packing)
+    must decode the same paths and scores as the variadic (max, argmax)
+    reduce on the LM∘HMM block graph."""
+    rng = np.random.default_rng(17)
+    from markovmodels_tpu.workloads import make_lm_hmm_graph
+
+    fsm, spdf, P, _ = make_lm_hmm_graph(V=8, seed=2)
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block")
+    B, N = 3, 25
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32))
+    lens = jnp.asarray([25, 11, 18], dtype=jnp.int32)
+    st0, sc0 = vit.viterbi(cf, lhs, lens)
+    monkeypatch.setenv("MMTPU_VIT_PACKED", "1")
+    st1, sc1 = vit.viterbi(cf, lhs, lens)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
