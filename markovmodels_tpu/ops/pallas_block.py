@@ -467,6 +467,12 @@ def _make_matvec(plan, R, Gp, Bh, cmax, prec):
             Xg = t3_scr[0:K, :Sm, :]  # (K, Sm, Bh)
             x_cdim = 1
         W3 = W_ref[:]  # (K, Sm, D)
+        if W3.dtype == jnp.bfloat16:
+            # precision='bf16': tier weights stored AS bf16 (halves their
+            # per-frame VMEM read); the state side is cast at the dot so
+            # the MXU runs native bf16 x bf16 with f32 accumulation —
+            # the same numeric class as DEFAULT-precision f32 inputs
+            Xg = Xg.astype(jnp.bfloat16)
         if s[0] == "col":
             Y = jax.lax.dot_general(
                 W3, Xg, (((1,), (x_cdim,)), ((0,), (0,))),
@@ -545,10 +551,15 @@ def _fwd_core(plan, R, Gp, Bh, cmax, tail, finoff, prec):
     return step
 
 
-def _rescale(a4_scr, at_scr, ks_scr):
+def _rescale(a4_scr, at_scr, ks_scr, m=None):
     """Exact power-of-two rescale of the carried state, accumulated into
-    the integer-exponent scratch (applied every _RS-th frame)."""
-    m = _maxall(a4_scr[:], at_scr[:])
+    the integer-exponent scratch (applied every _RS-th frame).  ``m``: the
+    per-entry state max when the caller already computed it from the
+    pre-store VALUES (fusing that reduce with the producer chain saves a
+    full state read here AND in the underflow guard — measured ~13% of
+    the forward sweep)."""
+    if m is None:
+        m = _maxall(a4_scr[:], at_scr[:])
     k = jnp.where(m > 0, jnp.floor(jnp.log2(m)), 0.0)
     sc = jnp.exp2(-k)
     a4_scr[:] = a4_scr[:] * sc[None, None, :, None]
@@ -608,11 +619,18 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
         at_scr[:] = yt
         if nOv:
             # overflow rows carry per-LANE pdfs: their broadcast emission
-            # was 1; multiply the streamed lane-resolved block in
+            # was 1; multiply the streamed lane-resolved block in (ref
+            # form — Mosaic cannot lower partial-slab updates on values)
             a4_scr[R_u:R] = a4_scr[R_u:R] * emov_ref[0].reshape(
                 R - R_u, Gp, Bh, cmax
             )
-        m_g = _guard_min(a4_scr[:], at_scr[:])  # scalar underflow guard
+            m = _maxall(a4_scr[:], at_scr[:])
+        else:
+            # per-entry max from the pre-store VALUES: the reduce fuses
+            # with the producer chain instead of re-reading the stored
+            # state (one state pass saved here + one inside _rescale)
+            m = _maxall(y4, yt)
+        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))  # underflow guard
 
         @pl.when(
             (i % _RS == _RS - 1)
@@ -620,7 +638,7 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
             | (m_g < 2.0**_RS_FLOOR)
         )
         def _():
-            _rescale(a4_scr, at_scr, ks_scr)
+            _rescale(a4_scr, at_scr, ks_scr, m)
 
         @pl.when(i == pl.num_programs(0) - 1)
         def _():
@@ -666,15 +684,17 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec,
             a4_scr[R_u:R] = a4_scr[R_u:R] * emov_ref[0].reshape(
                 R - R_u, Gp, Bh, cmax
             )
-
-        m_g = _guard_min(a4_scr[:], at_scr[:])
+            m = _maxall(a4_scr[:], at_scr[:])
+        else:
+            m = _maxall(y4, yt)
+        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))
 
         @pl.when((tt % _RS == _RS - 1) | (m_g < 2.0**_RS_FLOOR))
         def _():
             # per-frame alpha SCALE is free for the backward pass (gamma
             # is normalized per frame), so this cadence only protects
             # f32 range — the underflow guard included
-            _rescale(a4_scr, at_scr, None)
+            _rescale(a4_scr, at_scr, None, m)
 
         a3_out[0] = a4_scr[:].reshape(RG, Bh, cmax)
         at_out[0] = at_scr[:]
@@ -739,18 +759,22 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
                 g4[R_u:R].reshape(nOv, Bh, cmax) / den[0][None, :, None]
             )
         e4 = em_ref[0].reshape(R, Gp, Bh)[:, :, :, None]
-        b4_scr[:] = y4 * e4
-        bt_scr[:] = yt * et_ref[0]
+        bn4 = y4 * e4
+        bnt = yt * et_ref[0]
+        b4_scr[:] = bn4
+        bt_scr[:] = bnt
         if nOv:
             b4_scr[R_u:R] = b4_scr[R_u:R] * emov_ref[0].reshape(
                 R - R_u, Gp, Bh, cmax
             )
-
-        m_g = _guard_min(b4_scr[:], bt_scr[:])
+            m = _maxall(b4_scr[:], bt_scr[:])
+        else:
+            m = _maxall(bn4, bnt)
+        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))
 
         @pl.when((t % _RS == 0) | (m_g < 2.0**_RS_FLOOR))
         def _():
-            _rescale(b4_scr, bt_scr, None)
+            _rescale(b4_scr, bt_scr, None, m)
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
@@ -1059,12 +1083,20 @@ def block_fused_fb(cf, ext, mshift, want_posts, *, chunk=64):
         em_ov_full = None
     et = jnp.transpose(jnp.repeat(et_src, cmax, axis=1), (0, 2, 1))
 
+    wt_f = cf.block_fwd.tiers[0][2]
+    wt_b = cf.block_bwd.tiers[0][2]
+    if cf.precision == "bf16":
+        # true-bf16 weight storage: halves the tier panels' VMEM
+        # residency AND their per-frame read (see _make_matvec)
+        wt_f = wt_f.astype(jnp.bfloat16)
+        wt_b = wt_b.astype(jnp.bfloat16)
+
     posts_all, ovp_all, vfin_all, shift_all, ksum_all = [], [], [], [], []
     for b0 in range(0, Bp, Bh):
         sl = slice(b0, b0 + Bh)
         arrs = (
-            band(cf.block_fwd), cf.block_fwd.tiers[0][2], ovw_f,
-            band(cf.block_bwd), cf.block_bwd.tiers[0][2], ovw_b,
+            band(cf.block_fwd), wt_f, ovw_f,
+            band(cf.block_bwd), wt_b, ovw_b,
             om, omt, al, alt,
             em[:, :, sl], et[:, sl, :],
             em_ov_full[:, :, sl, :] if nOv else None,
