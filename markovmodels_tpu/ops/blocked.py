@@ -665,15 +665,39 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
 # tropical matvec with in-pass argmax (compressed backpointers)
 # ---------------------------------------------------------------------------
 
-def block_max_arg_supported(op: BlockOperator, meta) -> bool:
+def _ov_cand_layout(meta, ov_lo, cmax):
+    """Per-ov-group candidate-id layout for the uint8 bp encoding.
+
+    Overflow DESTINATIONS never receive tier or ov_out candidates, so
+    their id space restarts at 0: each group's 'in' families get
+    consecutive ranges [cum, cum + size) in desc order, with the band
+    offsets after them at [C_g, C_g + nO).  Returns {group_base: [(desc,
+    id_base), ...]} plus {group_base: C_g}."""
+    fam, csize = {}, {}
+    for desc in (meta[3] if len(meta) > 3 else ()):
+        kind, g0, form, base, stride, D = desc
+        if kind != "in":
+            continue
+        cum = csize.get(g0, 0)
+        fam.setdefault(g0, []).append((desc, cum))
+        csize[g0] = cum + (cmax if form == "win" else D)
+    return fam, csize
+
+
+def block_max_arg_supported(op: BlockOperator, meta, ov_lo=None,
+                            cmax=None) -> bool:
     """True when block_matvec_max_arg can run: one tier, no residue,
-    affine gather/scatter descriptors, and the candidate id (tier position
-    + band offsets) fits a uint8 (the Viterbi-at-scale bp stream)."""
+    affine gather/scatter descriptors, and every candidate id fitting a
+    uint8 (the Viterbi-at-scale bp stream).
+
+    With overflow families (``ov_lo``/``cmax`` from the compile's
+    ov_layout): core destinations encode tier [0, Sm) + bands [Sm, Sm+nO)
+    + one ov_out id (each overflow out-family contributes at most ONE
+    candidate per destination); overflow destinations encode their in-
+    families from 0 with bands after (see _ov_cand_layout) — both spaces
+    must stay under 255, the tier must not write into the overflow
+    region, and no two out-families may share a destination."""
     if op.res_src is not None or len(op.tiers) != 1:
-        return False
-    if op.ov_w:
-        # overflow families carry their own candidate spaces; the uint8
-        # encoding below does not cover them yet — chunk-recompute decodes
         return False
     (gdesc, ddesc) = meta[1][0]
     # any gather form works (generic index gather fallback); the scatter
@@ -682,6 +706,33 @@ def block_max_arg_supported(op: BlockOperator, meta) -> bool:
         return False
     Sm = op.tiers[0][0].shape[1]
     nO = len(meta[0])
+    if op.ov_w:
+        if ov_lo is None or cmax is None:
+            return False
+        if Sm + nO + 1 >= 255:
+            return False
+        if int(np.asarray(op.tiers[0][1]).max()) >= ov_lo:
+            return False  # tier ids would collide with ov in-family ids
+        _, csize = _ov_cand_layout(meta, ov_lo, cmax)
+        if any(C + nO >= 255 for C in csize.values()):
+            return False
+        # each dst must receive at most one out-family candidate
+        seen = set()
+        for desc in meta[3]:
+            kind, g0, form, base, stride, D = desc
+            if kind != "out":
+                continue
+            if form == "col":
+                dsts = (base + np.arange(D)[:, None] * stride
+                        + np.arange(cmax)[None, :]).ravel()
+            else:
+                dsts = (base + np.arange(cmax)[:, None] * stride
+                        + np.arange(cmax)[None, :]).ravel()
+            ds = set(int(d) for d in dsts)
+            if seen & ds:
+                return False
+            seen |= ds
+        return True
     return Sm + nO < 255
 
 
@@ -749,7 +800,7 @@ def _maxarg(prod, idx, axis):
     )
 
 
-def block_matvec_max_arg(op: BlockOperator, meta, x):
+def block_matvec_max_arg(op: BlockOperator, meta, x, ov_span=None):
     """Tropical y = T̂ᵀ ⊗max x with per-destination winning-candidate ids.
 
     Returns (y (Sp, B), cand (Sp, B) int32): cand < Sm is a tier source
@@ -758,6 +809,12 @@ def block_matvec_max_arg(op: BlockOperator, meta, x):
     candidate (zero column).  Requires block_max_arg_supported.  The rank-1
     ω column (phony final state) is NOT applied here — the at-scale decoder
     resolves it separately (viterbi._viterbi_scale_bp).
+
+    ``ov_span`` = (ov_lo, nOv, cmax) activates overflow-family candidates
+    (see block_max_arg_supported): core destinations additionally get the
+    single ov_out id Sm + nO; overflow destinations use the per-group
+    in-family/band layout of _ov_cand_layout (their ids are tracked above
+    255 during the sweep, then remapped into each group's own uint8 space).
     """
     band_offsets, tier_descs = meta[0], meta[1]
     Sp, B = x.shape
@@ -833,4 +890,80 @@ def block_matvec_max_arg(op: BlockOperator, meta, x):
         sel = Yv > winy
         y = upd_window(y, Yv, sel)
         cand = upd_window(cand, Av, sel)
+
+    if ov_span is not None and op.ov_w:
+        ov_lo, nOvg, cmaxv = ov_span
+        OVIN = 256  # in-family ids tracked above the uint8 range, then
+        # remapped per group (the 255 'none' marker must survive the sweep)
+        fam, csize = _ov_cand_layout(meta, ov_lo, cmaxv)
+        lanes = np.arange(cmaxv)
+        for desc, Wv in zip(meta[3], op.ov_w):
+            kind, g0, form, base, stride, D = desc
+            if kind == "in":
+                id_base = OVIN + next(
+                    c for d, c in fam[g0] if d == desc
+                )
+                if form == "win":
+                    grid = base + lanes[:, None] * stride + lanes[None, :]
+                    Xg = x[jnp.asarray(grid.reshape(-1))].reshape(
+                        cmaxv, cmaxv, B
+                    )
+                    prod = Wv[:, :, None] * Xg  # (l, j, B)
+                    ids = jax.lax.broadcasted_iota(
+                        jnp.int32, prod.shape, 1
+                    )
+                    val, arg = _maxarg(prod, ids, 1)  # (l, B)
+                else:
+                    grid = (base + np.arange(D)[:, None] * stride
+                            + lanes[None, :])
+                    Xg = x[jnp.asarray(grid.reshape(-1))].reshape(
+                        D, cmaxv, B
+                    )
+                    prod = Wv[:, :, None] * Xg  # (r, l, B)
+                    ids = jax.lax.broadcasted_iota(
+                        jnp.int32, prod.shape, 0
+                    )
+                    val, arg = _maxarg(prod, ids, 0)  # (l, B)
+                cur = y[g0 : g0 + cmaxv]
+                curc = cand[g0 : g0 + cmaxv]
+                sel = val > cur
+                y = y.at[g0 : g0 + cmaxv].set(jnp.where(sel, val, cur))
+                cand = cand.at[g0 : g0 + cmaxv].set(
+                    jnp.where(sel, id_base + arg, curc)
+                )
+            else:
+                xg = x[g0 : g0 + cmaxv]  # (l, B)
+                if form == "col":
+                    contrib = Wv[:, :, None] * xg[None, :, :]  # (r, l, B)
+                    flat_i = (base + np.arange(D)[:, None] * stride
+                              + lanes[None, :]).reshape(-1)
+                else:
+                    contrib = Wv[:, :, None] * xg[:, None, :]  # (l, j, B)
+                    flat_i = (base + lanes[:, None] * stride
+                              + lanes[None, :]).reshape(-1)
+                flat_i = jnp.asarray(flat_i)
+                flat_v = contrib.reshape(-1, B)
+                cur = y[flat_i]
+                curc = cand[flat_i]
+                sel = flat_v > cur
+                y = y.at[flat_i].set(jnp.where(sel, flat_v, cur))
+                cand = cand.at[flat_i].set(
+                    jnp.where(sel, Sm + nO, curc)
+                )
+        # remap every overflow group's ids into its own uint8 space:
+        # in-families first [0, C_g), bands after [C_g, C_g + nO)
+        for gi in range(nOvg):
+            g0 = ov_lo + gi * cmaxv
+            C_g = csize.get(g0, 0)
+            seg = cand[g0 : g0 + cmaxv]
+            seg = jnp.where(
+                seg >= OVIN,
+                seg - OVIN,
+                jnp.where(
+                    (seg >= Sm) & (seg < Sm + nO),
+                    C_g + (seg - Sm),
+                    seg,
+                ),
+            )
+            cand = cand.at[g0 : g0 + cmaxv].set(seg)
     return y, cand

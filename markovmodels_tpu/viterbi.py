@@ -164,9 +164,15 @@ def _bp_vit_reject_reason(cf: CompiledFSM, lhs):
         return "no rank-1 omega split"
     from .ops.blocked import block_max_arg_supported
 
-    if not block_max_arg_supported(cf.block_fwd, cf.block_fwd_offsets):
-        return ("operator not a single affine tier with uint8-range "
-                "candidate ids")
+    ov_lo = cmaxv = None
+    if getattr(cf, "ov_layout", ()):
+        cmaxv = cf.ov_layout[0]
+        ov_lo = cf.num_pdfs * cmaxv
+    if not block_max_arg_supported(
+        cf.block_fwd, cf.block_fwd_offsets, ov_lo=ov_lo, cmax=cmaxv
+    ):
+        return ("operator not a single affine tier (+ supported overflow "
+                "families) with uint8-range candidate ids")
     B, N, _ = lhs.shape
     need = (N + 1) * cf.padded_states * B
     if need > _BP_MEM_BYTES:
@@ -238,6 +244,62 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
     K, Sm = sidx.shape
     nO = len(cf.block_fwd_offsets[0])
 
+    # overflow-family candidate support (canonicalized backoff LM graphs):
+    # the sweep tracks per-group in-family/band ids (_ov_cand_layout) and
+    # the walk decodes them through small host-built tables — a full
+    # (nOv*cmax, 256) candidate->source map for overflow states plus a
+    # (Sp,) ov_out source map for core states fed by overflow lanes
+    ov_span = None
+    ovout_tab = None
+    ov_dec = None
+    ov_lo = Sp
+    if getattr(cf, "ov_layout", ()):
+        from .ops.blocked import _ov_cand_layout
+
+        cmaxv, nOvg = cf.ov_layout
+        ov_lo = cf.num_pdfs * cmaxv
+        ov_span = (ov_lo, nOvg, cmaxv)
+        meta = cf.block_fwd_offsets
+        fam, csize = _ov_cand_layout(meta, ov_lo, cmaxv)
+        band_np = np.asarray(meta[0], dtype=np.int64)
+        lanes = np.arange(cmaxv)
+        dec = np.full((nOvg * cmaxv, 256), -1, dtype=np.int64)
+        for gi in range(nOvg):
+            g0 = ov_lo + gi * cmaxv
+            C_g = csize.get(g0, 0)
+            rows = gi * cmaxv + lanes
+            for oi, off in enumerate(band_np):
+                srcs = (g0 + lanes) - off
+                ok = (srcs >= 0) & (srcs < Sp)
+                dec[rows, C_g + oi] = np.where(ok, srcs, -1)
+            for desc, cum in fam.get(g0, []):
+                _, _, form, base, stride, D = desc
+                if form == "win":
+                    dec[rows[:, None], cum + lanes[None, :]] = (
+                        base + lanes[:, None] * stride + lanes[None, :]
+                    )
+                else:
+                    dec[rows[:, None], cum + np.arange(D)[None, :]] = (
+                        base + np.arange(D)[None, :] * stride
+                        + lanes[:, None]
+                    )
+        ov_dec = jnp.asarray(dec.astype(np.int32))
+        oo = np.full(Sp, -1, dtype=np.int64)
+        for desc in (meta[3] if len(meta) > 3 else ()):
+            kind, g0, form, base, stride, D = desc
+            if kind != "out":
+                continue
+            if form == "col":
+                d_grid = (base + np.arange(D)[:, None] * stride
+                          + lanes[None, :])
+                s_grid = g0 + np.broadcast_to(lanes[None, :], d_grid.shape)
+            else:
+                d_grid = (base + lanes[:, None] * stride
+                          + lanes[None, :])
+                s_grid = g0 + np.broadcast_to(lanes[:, None], d_grid.shape)
+            oo[d_grid.reshape(-1)] = s_grid.reshape(-1)
+        ovout_tab = jnp.asarray(oo.astype(np.int32))
+
     if _vit_pallas_ok(cf, lhs):
         # fused tropical Pallas sweep: operator + state VMEM-resident,
         # bps cover the main region [0, R*W) (tail states never carry
@@ -270,7 +332,7 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
             # rank-1 ω transition into phony: value + argmax source
             fin_v, fin_a = _maxarg(omega_p[:, None] * a, bidx, 0)
             y, cand = block_matvec_max_arg(
-                cf.block_fwd, cf.block_fwd_offsets, a
+                cf.block_fwd, cf.block_fwd_offsets, a, ov_span=ov_span
             )
             y = y.at[fin_idx].set(fin_v)
             p = jnp.where(t == 0, a, y)
@@ -317,6 +379,15 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
         ]
         band_src = s - offs[jnp.clip(c - Sm, 0, offs.shape[0] - 1)]
         src = jnp.where(c < Sm, tier_src, band_src)
+        if ovout_tab is not None:
+            osrc = ovout_tab[s]
+            src = jnp.where((c == Sm + nO) & (osrc >= 0), osrc, src)
+        if ov_dec is not None:
+            u = jnp.clip(s - ov_lo, 0, ov_dec.shape[0] - 1)
+            od = ov_dec[u, jnp.clip(c, 0, 255)]
+            src = jnp.where(
+                s >= ov_lo, jnp.where(od < 0, fin_b, od), src
+            )
         src = jnp.where(c == 255, fin_b, src)
         s_prev = jnp.where(t == lengths, fin_t, src)
         s_prev = jnp.where(t > lengths, fin_b, s_prev)

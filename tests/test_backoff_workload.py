@@ -193,3 +193,25 @@ def test_ov_fused_matches_xla_at_scale(monkeypatch):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-5)
     for b in range(B):
         assert np.all(np.asarray(p1)[b, int(lens[b]):] == 0.0)
+
+
+def test_ov_bp_viterbi_matches_recompute_at_scale(monkeypatch):
+    """The uint8-bp decode now covers overflow-family graphs: on the
+    canonicalized V=128 separate-state backoff graph it must engage (no
+    reject) and agree with the chunk-recompute decoder on scores AND
+    paths."""
+    from markovmodels_tpu import viterbi as vit
+
+    fsm, spdf, P, _ = make_backoff_lm_hmm_graph(
+        V=128, keep=0.1, layout="separate"
+    )
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block")
+    rng = np.random.default_rng(5)
+    lhs = jnp.asarray(rng.normal(size=(2, 25, P)).astype(np.float32))
+    lens = jnp.asarray([25, 16], dtype=jnp.int32)
+    assert vit._bp_vit_reject_reason(cf, lhs) is None
+    st1, sc1 = vit.viterbi(cf, lhs, lens)
+    monkeypatch.setenv("MMTPU_NO_VITBP", "1")
+    st0, sc0 = vit.viterbi(cf, lhs, lens)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
