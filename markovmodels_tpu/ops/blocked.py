@@ -632,7 +632,10 @@ def block_matvec(op: BlockOperator, meta, x, precision, *, op_kind="sum"):
             grid = (base + lanes[:, None] * stride) + np.arange(block)[None, :]
         grid = jnp.asarray(grid)
         if kind == "in":
-            Xg = x[grid.reshape(-1)].reshape(grid.shape + (B,))
+            rows = D if form == "col" else block
+            Xg = _strided_rows(x, base, rows, stride, block, Sp)
+            if Xg is None:
+                Xg = x[grid.reshape(-1)].reshape(grid.shape + (B,))
             if form == "col":
                 # y[g0 + l] ⊕= Σ_r W[r, l] · x[base + r·stride + l]
                 prod = W[:, :, None] * Xg
@@ -777,6 +780,21 @@ def _maxarg_packed(prod, axis, nbits=8):
     )
 
 
+def _strided_rows(x, base, rows, stride, width, Sp):
+    """(rows, width, B) view of ``x[base + r*stride : +width]`` via
+    slice+reshape (full-bandwidth on TPU) or None when it cannot be
+    window-shifted into range — callers fall back to a gather."""
+    if stride <= 0 or width > stride or base < 0:
+        return None
+    c0 = max(0, base + rows * stride - Sp)
+    b2 = base - c0
+    if b2 < 0 or c0 + width > stride:
+        return None
+    B = x.shape[1]
+    view = jax.lax.slice(x, (b2, 0), (b2 + rows * stride, B))
+    return view.reshape(rows, stride, B)[:, c0 : c0 + width]
+
+
 def _maxarg(prod, idx, axis):
     """(max, argmax) over ``axis`` in ONE variadic lax.reduce pass (XLA
     fuses the broadcast-multiply producer, so the (K, Sm, D, B) product is
@@ -903,22 +921,21 @@ def block_matvec_max_arg(op: BlockOperator, meta, x, ov_span=None):
                 id_base = OVIN + next(
                     c for d, c in fam[g0] if d == desc
                 )
-                if form == "win":
-                    grid = base + lanes[:, None] * stride + lanes[None, :]
+                rows = cmaxv if form == "win" else D
+                Xg = _strided_rows(x, base, rows, stride, cmaxv, Sp)
+                if Xg is None:  # lane-unaligned layout: index gather
+                    grid = (base + np.arange(rows)[:, None] * stride
+                            + lanes[None, :])
                     Xg = x[jnp.asarray(grid.reshape(-1))].reshape(
-                        cmaxv, cmaxv, B
+                        rows, cmaxv, B
                     )
+                if form == "win":
                     prod = Wv[:, :, None] * Xg  # (l, j, B)
                     ids = jax.lax.broadcasted_iota(
                         jnp.int32, prod.shape, 1
                     )
                     val, arg = _maxarg(prod, ids, 1)  # (l, B)
                 else:
-                    grid = (base + np.arange(D)[:, None] * stride
-                            + lanes[None, :])
-                    Xg = x[jnp.asarray(grid.reshape(-1))].reshape(
-                        D, cmaxv, B
-                    )
                     prod = Wv[:, :, None] * Xg  # (r, l, B)
                     ids = jax.lax.broadcasted_iota(
                         jnp.int32, prod.shape, 0
@@ -935,21 +952,50 @@ def block_matvec_max_arg(op: BlockOperator, meta, x, ov_span=None):
                 xg = x[g0 : g0 + cmaxv]  # (l, B)
                 if form == "col":
                     contrib = Wv[:, :, None] * xg[None, :, :]  # (r, l, B)
-                    flat_i = (base + np.arange(D)[:, None] * stride
-                              + lanes[None, :]).reshape(-1)
+                    rows = D
                 else:
                     contrib = Wv[:, :, None] * xg[:, None, :]  # (l, j, B)
-                    flat_i = (base + lanes[:, None] * stride
-                              + lanes[None, :]).reshape(-1)
-                flat_i = jnp.asarray(flat_i)
-                flat_v = contrib.reshape(-1, B)
-                cur = y[flat_i]
-                curc = cand[flat_i]
-                sel = flat_v > cur
-                y = y.at[flat_i].set(jnp.where(sel, flat_v, cur))
-                cand = cand.at[flat_i].set(
-                    jnp.where(sel, Sm + nO, curc)
-                )
+                    rows = cmaxv
+                c0w = max(0, base + rows * stride - Sp)
+                b2w = base - c0w
+                if (stride > 0 and cmaxv <= stride and b2w >= 0
+                        and c0w + cmaxv <= stride):
+                    # strided row-chunk window RMW (slice + update-slice,
+                    # no index scatter)
+                    def updw(buf, val, fill):
+                        seg = jax.lax.slice(
+                            buf, (b2w, 0), (b2w + rows * stride, B)
+                        ).reshape(rows, stride, B)
+                        win = seg[:, c0w : c0w + cmaxv]
+                        seg = seg.at[:, c0w : c0w + cmaxv].set(
+                            jnp.where(fill, val, win)
+                        )
+                        return jax.lax.dynamic_update_slice(
+                            buf, seg.reshape(rows * stride, B), (b2w, 0)
+                        )
+
+                    winy = jax.lax.slice(
+                        y, (b2w, 0), (b2w + rows * stride, B)
+                    ).reshape(rows, stride, B)[:, c0w : c0w + cmaxv]
+                    sel = contrib > winy
+                    y = updw(y, contrib, sel)
+                    cand = updw(
+                        cand,
+                        jnp.full_like(cand[:1, :1], Sm + nO), sel,
+                    )
+                else:
+                    flat_i = jnp.asarray(
+                        (base + np.arange(rows)[:, None] * stride
+                         + lanes[None, :]).reshape(-1)
+                    )
+                    flat_v = contrib.reshape(-1, B)
+                    cur = y[flat_i]
+                    curc = cand[flat_i]
+                    sel = flat_v > cur
+                    y = y.at[flat_i].set(jnp.where(sel, flat_v, cur))
+                    cand = cand.at[flat_i].set(
+                        jnp.where(sel, Sm + nO, curc)
+                    )
         # remap every overflow group's ids into its own uint8 space:
         # in-families first [0, C_g), bands after [C_g, C_g + nO)
         for gi in range(nOvg):

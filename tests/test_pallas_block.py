@@ -408,3 +408,24 @@ def test_rescale_guard_survives_emission_cliffs(graph, pallas_on,
     assert np.isfinite(np.asarray(z1)).all(), "fused path underflowed"
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-4)
+
+
+def test_bf16_precision_mode(graph, raw_graph, pallas_on):
+    """precision='bf16' (bf16-stored tier panels, f32 state): the fused
+    path must accept it and agree with the 'high' mode within the
+    documented bf16-dot tolerance (exact in interpret mode on CPU, ~1e-3
+    on real MXU hardware — the hard gate at the 2M scale lives in
+    bench.py)."""
+    fsm, spdf, P, _ = raw_graph
+    cf_hi, _ = graph
+    cf16 = inf.compile_fsm(fsm, spdf, P, strategy="block",
+                           precision="bf16")
+    assert pb.block_scan_reject_reason(cf16, 8) is None
+    rng = np.random.default_rng(3)
+    B, N = 8, 4
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32) * 0.5)
+    lens = jnp.asarray([4, 3, 4, 2, 3, 4, 4, 3], dtype=jnp.int32)
+    p16, z16 = inf.pdfposteriors(cf16, lhs, lens)
+    phi, zhi = inf.pdfposteriors(cf_hi, lhs, lens)
+    np.testing.assert_allclose(np.asarray(z16), np.asarray(zhi), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(phi), atol=2e-2)
