@@ -1423,8 +1423,20 @@ def fast_path_report(cf: CompiledFSM, batch_size: int = 128) -> str:
         if reason is None:
             return "fused-pallas-dense (VMEM-resident dense operator)"
         return f"xla lax.scan fallback - fused dense scan rejected: {reason}"
+    if cf.strategy == "banded":
+        if cf.batched:
+            from .ops import pallas_banded as pband
+
+            reason = pband.banded_scan_supported(cf, batch_size)
+            if reason is None:
+                return ("fused-pallas-banded (stacked scan, graph axis on "
+                        "the vector lanes)")
+            return ("xla prob-domain scan - fused banded scan rejected: "
+                    f"{reason}")
+        return ("xla prob-domain scan (single 'banded' graph; the fused "
+                "banded scan covers STACKED graphs)")
     return (f"xla lax.scan ({cf.strategy!r} strategy; fused paths cover "
-            "'dense' and 'block')")
+            "'dense', 'block' and stacked 'banded')")
 
 
 def _pallas_dense_reject_reason(cf: CompiledFSM, batch_size: int):

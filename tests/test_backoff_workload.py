@@ -131,6 +131,36 @@ def test_fast_path_report_matches_dispatch(monkeypatch):
             cf.strategy, report, fused_dispatch
         )
 
+    # stacked banded numerators: the report must agree with the fused
+    # banded gate at the matching (B == G) batch
+    import markovmodels_tpu as mm2
+    from markovmodels_tpu.fsm import FSM as _F
+    from markovmodels_tpu.labels import Label as _L
+    from markovmodels_tpu.ops import pallas_banded as pband
+
+    rng2 = np.random.default_rng(1)
+    cfs = []
+    for g in range(128):
+        seq = rng2.integers(0, 6, size=4)
+        arcs = [((i, i), np.log(0.5)) for i in range(4)] + [
+            ((i, i + 1), np.log(0.5)) for i in range(3)
+        ]
+        f = _F.from_pairs(
+            [(0, 0.0)], arcs, [(3, np.log(0.5))],
+            [_L(int(s)) for s in seq], mm2.LOG,
+        )
+        cfs.append(inf.compile_fsm(f, np.append(seq, 6).astype(np.int32),
+                                   6, strategy="banded"))
+    nb = inf.stack(cfs)
+    rep = inf.fast_path_report(nb, 128)
+    assert rep.startswith("fused-pallas-banded") == (
+        pband.banded_scan_supported(nb, 128) is None
+    ), rep
+    # a mismatched batch must fall back with a named reason
+    rep_bad = inf.fast_path_report(nb, 64)
+    assert not rep_bad.startswith("fused")
+    assert "64" in rep_bad
+
 
 @pytest.mark.parametrize("V,cap", [(8, 8), (16, 16)])
 def test_ov_layout_small_graph_parity(V, cap):
