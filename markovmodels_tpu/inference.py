@@ -584,12 +584,15 @@ def stack(cfsms) -> CompiledFSM:
     instead of blockdiag-ing sparse storage, graphs get a leading batch axis
     and the recursions vmap over it.
 
-    Fast-path note: stacked graphs support the 'dense' strategy, whose
-    vmapped prob-domain scan runs batched MXU matmuls — the appropriate
-    fast path for heterogeneous per-utterance graphs (numerators are small,
-    so their dense operators are cheap).  The 'block' strategy and the
-    fused Pallas scans target one LARGE graph shared across the batch (the
-    LF-MMI denominator); stacking block operators is rejected because that
+    Fast-path note: stacked LINEAR lattices (the LF-MMI numerator shape)
+    should compile with strategy='banded' — the stacked batch then runs
+    as ONE fused Pallas scan with the graph axis on the vector lanes
+    (ops/pallas_banded.py; ~27 ms for 128 numerators at N=700 vs ~190 ms
+    for any XLA formulation).  'dense' stacks run the vmapped prob-domain
+    scan (batched MXU matmuls) and remain the fallback for non-banded
+    heterogeneous graphs.  The 'block' strategy and its fused scans
+    target one LARGE graph shared across the batch (the LF-MMI
+    denominator); stacking block operators is rejected because that
     workload shape (many distinct 2M-arc graphs in one batch) does not
     occur — the shared-graph batch axis already covers it."""
     cfsms = list(cfsms)

@@ -10,14 +10,18 @@ here it is first-class, with two regimes:
   backpointers per frame, then a reverse scan gathers the best sequence.
 * at scale ('dense'/'block' strategies, e.g. the 2M-arc denominator), two
   designs, picked by graph shape and memory:
-  - **compressed backpointers** (single-affine-tier block graphs): the
-    in-degree of every state is tier width + band count < 255, so the
-    winning *candidate id* fits a uint8 — one tropical forward sweep
-    records (Npad, Sp, B) uint8 ids (~4.4 GB at the benchmark shape) via a
-    single-pass variadic (max, argmax) reduce, and the backtrace is a
-    trivial gather walk.  The tropical max-product reduction is VPU-bound
-    (no MXU analog of max-times), so halving the sweeps is the dominant
-    win: measured 0.68 s vs 1.43 s for the recompute design at 2M arcs.
+  - **compressed backpointers** (single-affine-tier block graphs,
+    including capped/overflow layouts — a backoff LM's overflow families
+    get per-group candidate spaces decoded through host-built tables):
+    the in-degree of every state is tier width + band count (+ overflow
+    families) < 255, so the winning *candidate id* fits a uint8 — one
+    tropical forward sweep records (Npad, Sp, B) uint8 ids (~4.4 GB at
+    the benchmark shape) via a single-pass variadic (max, argmax) reduce,
+    and the backtrace is a trivial gather walk.  The tropical max-product
+    reduction is VPU-bound (no MXU analog of max-times), so halving the
+    sweeps is the dominant win: measured 0.68 s vs 1.43 s for the
+    recompute design at 2M arcs (0.85 s on the canonicalized backoff
+    layout, whose overflow candidates add one windowed pass).
   - **backpointer-free chunk recompute** (fallback; full int32 backpointers
     would cost as much HBM as the alphas): forward saves only chunk
     boundaries; the path is recovered chunk-by-chunk in reverse by
