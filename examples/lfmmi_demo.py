@@ -73,7 +73,11 @@ def main():
         spdf = np.array(
             [lab[-1] for lab in f.labels] + [num_pdfs], dtype=np.int32
         )
-        num_cfs.append(inf.compile_fsm(f, spdf, num_pdfs, strategy="segment"))
+        # linear lattices compile to the 'banded' strategy: the stacked
+        # batch then runs as ONE fused scan with the graph axis on the
+        # vector lanes (ops/pallas_banded.py) — the fast path for the
+        # LF-MMI numerator pass
+        num_cfs.append(inf.compile_fsm(f, spdf, num_pdfs, strategy="banded"))
 
     # ---- 2. compile + score on the device
     den = inf.compile_fsm(den_fsm, den_spdf, num_pdfs, strategy="dense")

@@ -288,3 +288,34 @@ def test_data_parallel_jit(graph):
     posts, logZ = f(lhs_sharded)
     np.testing.assert_allclose(np.asarray(logZ), np.asarray(ref_logZ), atol=1e-6)
     np.testing.assert_allclose(np.asarray(posts), np.asarray(ref_posts), atol=1e-6)
+
+
+def test_sharded_prob_backoff_separate_family():
+    """The sharded prob/halo path on the round-5 graph family: a small
+    separate-state backoff LM ∘ HMM denominator (the reference pipeline's
+    own shape) must score identically sharded and unsharded."""
+    from markovmodels_tpu.parallel.sharded import (
+        shard_compiled_prob,
+        sharded_logmarginal_prob,
+    )
+    from markovmodels_tpu.workloads import make_backoff_lm_hmm_graph
+
+    fsm, spdf, P, _ = make_backoff_lm_hmm_graph(
+        V=8, hmm_states=3, keep=0.3, layout="separate"
+    )
+    rng = np.random.default_rng(31)
+    B, N = 4, 15
+    lhs = rng.normal(size=(B, N, P)).astype(np.float32)
+    lengths = np.array([15, 9, 12, 15], dtype=np.int32)
+
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block", ov_cap=8)
+    ref_logZ = inf.forward(cf, jnp.asarray(lhs), jnp.asarray(lengths))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    sf = shard_compiled_prob(fsm, spdf, P, num_shards=4)
+    logZ = sharded_logmarginal_prob(
+        sf, jnp.asarray(lhs), jnp.asarray(lengths), mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logZ), np.asarray(ref_logZ), atol=1e-4
+    )
