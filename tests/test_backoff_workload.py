@@ -245,3 +245,37 @@ def test_ov_bp_viterbi_matches_recompute_at_scale(monkeypatch):
     st0, sc0 = vit.viterbi(cf, lhs, lens)
     np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
+
+
+@pytest.mark.parametrize(
+    "V,K,keep,cap",
+    [(8, 5, 0.2, 8), (8, 3, 0.3, 4)],  # deep HMMs; cap BELOW V (30 groups)
+)
+def test_ov_layout_shape_fuzz(V, K, keep, cap):
+    """Canonicalization robustness across graph shapes: deeper HMM chains
+    and caps smaller than V (many overflow groups, multi-family splits)
+    must stay residue-free and exact vs the f64 oracle on both the sum
+    and tropical paths."""
+    from markovmodels_tpu import viterbi as vit
+
+    rng = np.random.default_rng(9)
+    fsm, spdf, P, _ = make_backoff_lm_hmm_graph(
+        V=V, hmm_states=K, keep=keep, layout="separate", seed=3
+    )
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block", ov_cap=cap)
+    assert cf.ov_layout[0] == cap
+    assert cf.block_fwd.res_src is None and cf.block_bwd.res_src is None
+    n = 18
+    lhs = rng.normal(size=(2, n, P)).astype(np.float32)
+    lens = np.array([n, 11], dtype=np.int32)
+    ref_z, ref_p = bench.host_oracle(
+        fsm, spdf, P, lhs.astype(np.float64), lens
+    )
+    got_p, got_z = inf.pdfposteriors(cf, jnp.asarray(lhs), jnp.asarray(lens))
+    assert np.max(np.abs(np.asarray(got_z) - ref_z)) < 1e-4
+    assert np.max(np.abs(np.asarray(got_p) - ref_p)) < 1e-4
+    ref_s = bench.host_viterbi_score(
+        fsm, spdf, P, lhs.astype(np.float64), lens
+    )
+    _, sc = vit.viterbi(cf, jnp.asarray(lhs), jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(sc), ref_s, atol=1e-4)
