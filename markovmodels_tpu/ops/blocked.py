@@ -835,6 +835,11 @@ def block_matvec_max_arg(op: BlockOperator, meta, x, ov_span=None):
     255 during the sweep, then remapped into each group's own uint8 space).
     """
     band_offsets, tier_descs = meta[0], meta[1]
+    if op.ov_w and ov_span is None:
+        raise ValueError(
+            "operator has overflow families; pass ov_span=(ov_lo, nOv, "
+            "cmax) or their contributions would be silently dropped"
+        )
     Sp, B = x.shape
     sidx, didx, W = op.tiers[0]
     (gdesc, ddesc) = tier_descs[0]
