@@ -1151,12 +1151,6 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
     C = -(-Nf // K)
     Npad = C * K
     P1 = num_pdfs + 1
-    # small-state scans (stacked banded/dense numerator lattices) are
-    # bound by per-iteration dispatch overhead, not compute — unroll the
-    # scan body to amortize it (measured 1.9x on the 128-numerator pass);
-    # large states keep unroll=1 (their ops dominate, unrolling only
-    # bloats the program)
-    unroll = 8 if Sl * B * P1 <= (1 << 22) else 1
 
     lhs_tm = jnp.pad(jnp.moveaxis(lhs, 1, 0), ((0, Npad - N), (0, 0), (0, 0)))
     ts = jnp.arange(Npad, dtype=jnp.int32)
@@ -1208,18 +1202,16 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
 
     if C == 1:
         (aF, kF, shiftF, _), A = lax.scan(
-            fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts),
-            unroll=unroll,
+            fstep_save, (a0, k0, shift0, comp0), (lhs_tm, ts)
         )
         logZ = kern.final_val(aF, kF, shiftF)
         if not want_posts:
             return None, logZ
-        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True,
-                              unroll=unroll)
+        _, posts = lax.scan(bstep, binit, (A, lhs_tm, ts), reverse=True)
     else:
         def chunk_fwd(carry, inp):
             boundary = carry
-            new_carry, _ = lax.scan(fstep, carry, inp, unroll=unroll)
+            new_carry, _ = lax.scan(fstep, carry, inp)
             return new_carry, boundary
 
         (aF, kF, shiftF, _), boundaries = lax.scan(
@@ -1231,10 +1223,8 @@ def _fbp_run(kern: _ProbKernels, lhs, lengths, chunk_size, want_posts,
 
         def chunk_bwd(carry, inp):
             bound, lhs_k, ts_k = inp
-            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k),
-                              unroll=unroll)
-            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k),
-                            reverse=True, unroll=unroll)
+            _, A_k = lax.scan(fstep_save, bound, (lhs_k, ts_k))
+            return lax.scan(bstep, carry, (A_k, lhs_k, ts_k), reverse=True)
 
         _, posts = lax.scan(
             chunk_bwd, binit, (boundaries, lhs_cm, ts_cm), reverse=True

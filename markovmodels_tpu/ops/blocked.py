@@ -761,11 +761,14 @@ def _maxarg_packed(prod, axis, nbits=8):
     round-off of optimal, and the id is only a backpointer — the carried
     Viterbi VALUE stays the exact f32 max).
 
-    Rationale: XLA lowers a variadic (max, argmax) reduce through a
-    comparator of 2 selects per element; plain maxes vectorize as single
-    VPU max ops, so IF the variadic lowering is the limiter (round-4
-    measured 13% of the VPU bound), two cheap maxes win.  Opt-in via
-    MMTPU_VIT_PACKED=1; parity-tested against the variadic path.
+    Rationale and MEASURED OUTCOME (round 5, 2M shape): the hypothesis was
+    that the variadic (max, argmax) comparator (2 selects/element) is the
+    13%-of-VPU-bound limiter and two plain maxes would win.  Measured:
+    1.15 s vs the variadic path's 0.68 s — 1.7x SLOWER (and a pure max
+    sweep with no argmax at all still costs 0.51 s), so the broadcast
+    max-reduce itself is the bound, not the comparator.  Kept opt-in
+    (MMTPU_VIT_PACKED=1) as the recorded counter-experiment;
+    parity-tested against the variadic path.
 
     Requires prod >= 0 (probability domain) and idx range < 2^nbits.
     """
