@@ -324,7 +324,12 @@ def compile_fsm(
         cmax = max(int(counts.max()), 1)
         cap = ov_cap
         if cap is None and cmax > 128 and cmax % 128:
-            cap = 128 * (cmax // 128)
+            # cap at exactly 128: the padded tail is always 128 slots, and
+            # the fused plan requires tail % cap == 0 — any larger cap
+            # would permute the layout only to be rejected at plan time
+            # (review finding, round 5); caps that don't divide 128 are
+            # likewise fused-hostile, so the auto rule never picks them
+            cap = 128
         if cap is not None and cap < cmax:
             # capped layout with overflow region (see the ov_cap docstring)
             order = np.argsort(state_pdf[: S1 - 1], kind="stable")
@@ -1040,7 +1045,7 @@ def _fb_prob_banded_stacked(cf: CompiledFSM, lhs, lengths, chunk_size,
         )
     from .ops import pallas_banded as pband
 
-    if pband.banded_scan_supported(cf, B) is None:
+    if pband.banded_scan_supported(cf, B, n_frames=N) is None:
         posts, vfin, shift, ksum = pband.banded_fused_fb(
             cf, lhs, lengths, want_posts
         )
@@ -1417,6 +1422,10 @@ def fast_path_report(cf: CompiledFSM, batch_size: int = 128) -> str:
             return "fused-pallas-dense (VMEM-resident dense operator)"
         return f"xla lax.scan fallback - fused dense scan rejected: {reason}"
     if cf.strategy == "banded":
+        if cf.domain != "prob":
+            return ("xla log-domain scan ('banded' strategy compiled with "
+                    "domain='log'; the prob-domain paths need "
+                    "domain='prob')")
         if cf.batched:
             from .ops import pallas_banded as pband
 

@@ -719,7 +719,10 @@ def block_max_arg_supported(op: BlockOperator, meta, ov_lo=None,
         _, csize = _ov_cand_layout(meta, ov_lo, cmax)
         if any(C + nO >= 255 for C in csize.values()):
             return False
-        # each dst must receive at most one out-family candidate
+        # each dst must receive at most one out-family candidate — both
+        # ACROSS families and WITHIN one (a stride < lane width would fold
+        # two (r, l) grid cells onto one destination: the scatter would be
+        # order-dependent and the single-source ov_out decode table wrong)
         seen = set()
         for desc in meta[3]:
             kind, g0, form, base, stride, D = desc
@@ -732,7 +735,7 @@ def block_max_arg_supported(op: BlockOperator, meta, ov_lo=None,
                 dsts = (base + np.arange(cmax)[:, None] * stride
                         + np.arange(cmax)[None, :]).ravel()
             ds = set(int(d) for d in dsts)
-            if seen & ds:
+            if len(ds) != len(dsts) or (seen & ds):
                 return False
             seen |= ds
         return True

@@ -37,9 +37,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def banded_scan_supported(cf, B: int):
+def banded_scan_supported(cf, B: int, n_frames=None):
     """None when the fused stacked-banded scan accepts, else the first
-    rejected predicate."""
+    rejected predicate.  ``n_frames``: sequence length when known — the
+    fused path materializes full (Nf, Sp, G) alpha/gamma/emission streams
+    (no chunk-checkpointing), so very long sequences must stay on the
+    chunked XLA scan; callers without a length (fast_path_report) skip
+    that predicate."""
     import os
 
     if os.environ.get("MMTPU_NO_PALLAS"):
@@ -68,6 +72,10 @@ def banded_scan_supported(cf, B: int):
         return "band offset exceeds padded state count"
     if (nO + 5) * Sp * G * 4 > 96 * 1024 * 1024:
         return "VMEM working set too large for the stacked banded kernel"
+    if n_frames is not None and 3 * (n_frames + 1) * Sp * G * 4 > 4 << 30:
+        return (f"unchunked alpha/gamma/emission streams for N={n_frames} "
+                "would exceed ~4 GB of HBM (the chunk-checkpointed XLA "
+                "scan handles long sequences)")
     return None
 
 

@@ -506,14 +506,15 @@ def _maxall(y4, yt):
     )  # (Bh,)
 
 
-def _guard_min(y4, yt):
+def _guard_min(m):
     """Scalar statistic for the strided-rescale underflow guard: min over
-    ACTIVE batch entries of the per-entry state max.  Zero-padded slice
-    entries (B % 64 != 0) and sequences whose mass legitimately died have a
-    per-entry max of 0 < 2^_RS_FLOOR; including them would fire the guard on
-    every frame and silently negate the every-_RS-frame rescale cadence.
-    All-zero entries need no rescale anyway (their k stays 0)."""
-    m = _maxall(y4, yt)
+    ACTIVE batch entries of the per-entry state max ``m`` (which the
+    kernels compute from the pre-store VALUES so the reduce fuses with the
+    producer chain).  Zero-padded slice entries (B % 64 != 0) and
+    sequences whose mass legitimately died have a per-entry max of
+    0 < 2^_RS_FLOOR; including them would fire the guard on every frame
+    and silently negate the every-_RS-frame rescale cadence.  All-zero
+    entries need no rescale anyway (their k stays 0)."""
     return jnp.min(jnp.where(m > 0, m, jnp.inf))
 
 
@@ -630,7 +631,7 @@ def _make_fwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
             # with the producer chain instead of re-reading the stored
             # state (one state pass saved here + one inside _rescale)
             m = _maxall(y4, yt)
-        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))  # underflow guard
+        m_g = _guard_min(m)  # underflow guard
 
         @pl.when(
             (i % _RS == _RS - 1)
@@ -687,7 +688,7 @@ def _make_recompute_kernel(plan, R, Gp, Bh, cmax, tail, finoff, prec,
             m = _maxall(a4_scr[:], at_scr[:])
         else:
             m = _maxall(y4, yt)
-        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))
+        m_g = _guard_min(m)
 
         @pl.when((tt % _RS == _RS - 1) | (m_g < 2.0**_RS_FLOOR))
         def _():
@@ -770,7 +771,7 @@ def _make_bwd_kernel(plan, R, Gp, Bh, cmax, tail, finoff, K_chunk, prec,
             m = _maxall(b4_scr[:], bt_scr[:])
         else:
             m = _maxall(bn4, bnt)
-        m_g = jnp.min(jnp.where(m > 0, m, jnp.inf))
+        m_g = _guard_min(m)
 
         @pl.when((t % _RS == 0) | (m_g < 2.0**_RS_FLOOR))
         def _():

@@ -169,7 +169,7 @@ def _bp_vit_reject_reason(cf: CompiledFSM, lhs):
     from .ops.blocked import block_max_arg_supported
 
     ov_lo = cmaxv = None
-    if getattr(cf, "ov_layout", ()):
+    if getattr(cf, "ov_layout", ()) and cf.block_fwd.ov_w:
         cmaxv = cf.ov_layout[0]
         ov_lo = cf.num_pdfs * cmaxv
     if not block_max_arg_supported(
@@ -257,7 +257,12 @@ def _viterbi_scale_bp(cf: CompiledFSM, lhs, lengths):
     ovout_tab = None
     ov_dec = None
     ov_lo = Sp
-    if getattr(cf, "ov_layout", ()):
+    # only when overflow FAMILIES exist: a graph whose overflow in-arcs
+    # were all captured by the shared-offset bands (ov_w empty) keeps the
+    # GLOBAL tier/band candidate encoding on its overflow slots, and the
+    # core decode below handles them — building the per-group table for
+    # it would mistranslate band ids (review finding, round 5)
+    if getattr(cf, "ov_layout", ()) and cf.block_fwd.ov_w:
         from .ops.blocked import _ov_cand_layout
 
         cmaxv, nOvg = cf.ov_layout

@@ -271,3 +271,72 @@ def test_viterbi_packed_argmax_matches(monkeypatch):
     st1, sc1 = vit.viterbi(cf, lhs, lens)
     np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(st1), np.asarray(st0))
+
+
+def test_ov_layout_band_only_overflow_bp_decode(monkeypatch):
+    """Review-finding regression (round 5): an ov-layout graph whose
+    overflow states are fed ONLY by shared-offset band arcs compiles with
+    EMPTY overflow families — the bp sweep then keeps the GLOBAL tier/band
+    candidate encoding on overflow slots, and the walk must decode them
+    through the core path (building the per-group table would mistranslate
+    band ids into garbage backpointers).  The bp decode must match the
+    chunk-recompute decoder path-for-path."""
+    import markovmodels_tpu as mm
+    from markovmodels_tpu import hostsparse as hs
+
+    P, cap = 16, 8
+    S = P * 8 + P  # 8 uniform states per pdf + 1 overflow each
+    rows = list(range(S)) + list(range(S - 1))
+    cols = list(range(S)) + list(range(1, S))
+    data = [np.log(0.4)] * S + [np.log(0.5)] * (S - 1)
+    # a small non-band family so the operator has exactly one tier
+    for i in range(8):
+        rows.append(i)
+        cols.append(64 + i)
+        data.append(np.log(0.3))
+    alpha = np.full(S, -np.inf)
+    alpha[0] = 0.0
+    omega = np.full(S, -np.inf)
+    omega[S - 1] = np.log(0.3)  # an OVERFLOW state carries final mass
+    omega[71] = np.log(0.2)
+    spdf = np.array(
+        [i // 8 for i in range(P * 8)] + list(range(P)) + [P],
+        dtype=np.int32,
+    )
+    labels = [mm.labels.Label(int(p)) for p in spdf[:S]]
+    T = hs.spmat_from_coo(
+        np.array(rows), np.array(cols), np.array(data), (S, S), mm.LOG
+    )
+    fsm = mm.FSM.from_parts(alpha, T, omega, labels, mm.LOG)
+    cf = inf.compile_fsm(fsm, spdf, P, strategy="block", ov_cap=cap)
+    assert cf.ov_layout == (cap, 2)
+    assert not cf.block_fwd.ov_w  # band arcs captured everything
+    rng = np.random.default_rng(23)
+    B, N = 3, 160  # long enough to walk through the overflow chain tail
+    lhs = jnp.asarray(rng.normal(size=(B, N, P)).astype(np.float32))
+    lens = jnp.asarray([160, 150, 144], dtype=jnp.int32)
+    assert vit._bp_vit_reject_reason(cf, lhs) is None
+    st1, sc1 = vit.viterbi(cf, lhs, lens)
+    monkeypatch.setenv("MMTPU_NO_VITBP", "1")
+    st0, sc0 = vit.viterbi(cf, lhs, lens)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc0), atol=1e-5)
+    # same-pdf self/chain orderings tie exactly, so the two decoders may
+    # legally return different optimal paths — require instead that BOTH
+    # paths are VALID and carry the device score (f64 arc-by-arc walk;
+    # the pre-fix bug emitted invalid final-state-parked garbage here)
+    from tests.test_inference import make_hmm  # noqa: F401  (import path)
+    import importlib.util as _ilu
+    import os as _os
+
+    _spec = _ilu.spec_from_file_location(
+        "benchmod_v", _os.path.join(_os.path.dirname(__file__), "..",
+                                    "bench.py")
+    )
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    for st, sc in ((st1, sc1), (st0, sc0)):
+        gap = _bench._validate_paths_full(
+            fsm, spdf, np.asarray(lhs), np.asarray(lens),
+            np.asarray(st), np.asarray(sc),
+        )
+        assert gap < 1e-3
